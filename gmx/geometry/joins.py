@@ -1,0 +1,284 @@
+"""Spatial joins over the cell-grid index: filter-and-refine, skew-aware.
+
+All operators follow the same scale pattern (SURVEY.md §2.7):
+
+1. **Filter**: explode each extent's cell covering -> equi-join on cell id
+   (a shuffle Catalyst plans natively; AQE skew-join enabled in gmx.session).
+2. **Refine**: exact interval predicates on the original coordinates.
+3. **Dedup-free pair emission**: a pair is emitted only from the cell that
+   contains the intersection's (max-west, max-south) corner — the classic
+   reference-point technique, which removes the need for a global
+   ``dropDuplicates`` shuffle over the (potentially enormous) pair stream.
+
+Skew handling ("hot cells from whole-world boxes", the north rule's named
+hazard; the corpus plants one whole-world bbox per 97 docs):
+
+- **Cell-splitting / tiering**: extents whose covering would exceed
+  ``large_cap`` cells (whole-world and near-global boxes) are pulled OUT of
+  the exploded index entirely and joined via a broadcast nested-loop pass —
+  so hot cells never materialize in the shuffle.  At 100 TB the large tier is
+  a tiny fraction (must fit broadcast; the cap is configurable and the tier
+  is counted so a runaway fraction is observable in metrics).
+- **Salting**: ``salt`` replicates index rows S ways and routes probes by
+  ``pmod(hash(key), S)`` for residual per-cell hotspots.
+- **AQE**: runtime skew-join splitting for anything left.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from gmx.geometry.cellgrid import (
+    DEFAULT_LEVEL,
+    cell_id_expr,
+    cell_ix_expr,
+    cell_iy_expr,
+    covering_expr,
+    covering_size_expr,
+    nx,
+    point_cell_expr,
+)
+
+DEFAULT_LARGE_CAP = 64  # coverings above this many cells go to the broadcast tier
+
+
+def _with_tier(extents: DataFrame, level: int, large_cap: int) -> DataFrame:
+    size = covering_size_expr(F.col("west"), F.col("south"), F.col("east"), F.col("north"), level)
+    return extents.withColumn("n_cells", size).withColumn("is_large", F.col("n_cells") > large_cap)
+
+
+def cover_cells(extents: DataFrame, level: int = DEFAULT_LEVEL) -> DataFrame:
+    """Exploded (cell, doc) covering index — the tile-assignment operator."""
+
+    return extents.select(
+        "doc_id", "west", "south", "east", "north",
+        F.explode(
+            covering_expr(F.col("west"), F.col("south"), F.col("east"), F.col("north"), level)
+        ).alias("cell"),
+    )
+
+
+def _overlap(a: str, b: str) -> Column:
+    return (
+        (F.col(f"{a}.west") <= F.col(f"{b}.east"))
+        & (F.col(f"{b}.west") <= F.col(f"{a}.east"))
+        & (F.col(f"{a}.south") <= F.col(f"{b}.north"))
+        & (F.col(f"{b}.south") <= F.col(f"{a}.north"))
+    )
+
+
+def bbox_overlap_pairs(
+    extents: DataFrame,
+    level: int = DEFAULT_LEVEL,
+    large_cap: int = DEFAULT_LARGE_CAP,
+) -> DataFrame:
+    """All distinct overlapping pairs (a_id < b_id) among extents.
+
+    small x small: cell equi-join + reference-point dedup (no distinct).
+    large x anything: broadcast nested-loop over the (tiny) large tier.
+    """
+
+    ext = _with_tier(extents, level, large_cap)
+    small = ext.filter(~F.col("is_large"))
+    large = ext.filter(F.col("is_large")).select("doc_id", "west", "south", "east", "north")
+
+    idx = cover_cells(small, level)
+    a, b = idx.alias("a"), idx.alias("b")
+    corner_ix = cell_ix_expr(F.greatest("a.west", "b.west"), level)
+    corner_iy = cell_iy_expr(F.greatest("a.south", "b.south"), level)
+    small_pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & _overlap("a", "b")
+            & (F.col("a.cell") == cell_id_expr(level, corner_ix, corner_iy)),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+    )
+
+    # broadcast the (tiny) LARGE tier; the full extent stream stays distributed
+    other = ext.select("doc_id", "west", "south", "east", "north", "is_large").alias("o")
+    l = large.alias("l")
+    large_pairs = (
+        other.join(
+            F.broadcast(l),
+            _overlap("l", "o")
+            & (F.col("o.doc_id") != F.col("l.doc_id"))
+            & (~F.col("o.is_large") | (F.col("o.doc_id") > F.col("l.doc_id"))),
+        )
+        .select(
+            F.least("l.doc_id", "o.doc_id").alias("a_id"),
+            F.greatest("l.doc_id", "o.doc_id").alias("b_id"),
+        )
+    )
+
+    return small_pairs.unionByName(large_pairs)
+
+
+def point_in_bbox(
+    points: DataFrame,
+    extents: DataFrame,
+    level: int = DEFAULT_LEVEL,
+    large_cap: int = DEFAULT_LARGE_CAP,
+    salt: int | None = None,
+) -> DataFrame:
+    """(point_id, doc_id) pairs where the point lies inside the doc extent
+    (closed intervals).  Two-tier like the overlap join; optional salting
+    replicates the small-tier index ``salt`` ways for residual hot cells."""
+
+    ext = _with_tier(extents, level, large_cap)
+    small = ext.filter(~F.col("is_large"))
+    large = ext.filter(F.col("is_large")).select("doc_id", "west", "south", "east", "north")
+
+    idx = cover_cells(small, level)
+    pts = points.withColumn("cell", point_cell_expr(F.col("lon"), F.col("lat"), level))
+
+    if salt:
+        idx = idx.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        pts = pts.withColumn("salt", F.pmod(F.hash("point_id"), F.lit(salt)))
+        keys = ["cell", "salt"]
+    else:
+        keys = ["cell"]
+
+    contains = (
+        (F.col("west") <= F.col("lon")) & (F.col("lon") <= F.col("east"))
+        & (F.col("south") <= F.col("lat")) & (F.col("lat") <= F.col("north"))
+    )
+    small_hits = (
+        pts.join(idx, on=keys).filter(contains).select("point_id", "doc_id")
+    )
+    large_hits = (
+        points.join(
+            F.broadcast(large),
+            (F.col("west") <= F.col("lon")) & (F.col("lon") <= F.col("east"))
+            & (F.col("south") <= F.col("lat")) & (F.col("lat") <= F.col("north")),
+        ).select("point_id", "doc_id")
+    )
+    return small_hits.unionByName(large_hits)
+
+
+def knn_points(
+    points: DataFrame,
+    extents: DataFrame,
+    k: int = 5,
+    level: int = DEFAULT_LEVEL,
+    ring: int = 2,
+) -> DataFrame:
+    """k nearest doc-extent centroids per query point.
+
+    Distance = squared equirectangular degrees (exact on the corpus lattice),
+    tie-broken by doc_id.  Plan: each centroid indexes into ONE cell; each
+    point probes its (2*ring+1)^2 cell neighborhood (a bounded fan-out
+    equi-join, not a cross join); a window takes the top k.  Candidates are
+    provably complete when the k-th distance is within ``ring`` cell-heights;
+    points that fail the bound (possible only in near-empty regions) fall
+    back to an exact broadcast pass — so results are exact at every density.
+    Returns (point_id, rank, doc_id, dist_sq).
+    """
+
+    n = nx(level)
+    cents = extents.select(
+        "doc_id",
+        ((F.col("west") + F.col("east")) / 2).alias("cx"),
+        ((F.col("south") + F.col("north")) / 2).alias("cy"),
+    )
+    cent_idx = cents.withColumn("cell", point_cell_expr(F.col("cx"), F.col("cy"), level))
+
+    px = cell_ix_expr(F.col("lon"), level)
+    py = cell_iy_expr(F.col("lat"), level)
+    offsets = list(range(-ring, ring + 1))
+    neighbor_cells = F.array_distinct(
+        F.array(*[
+            cell_id_expr(
+                level,
+                F.greatest(F.lit(0), F.least(F.lit(n - 1), px + F.lit(dx))),
+                F.greatest(F.lit(0), F.least(F.lit(n - 1), py + F.lit(dy))),
+            )
+            for dx in offsets
+            for dy in offsets
+        ])
+    )
+    probes = points.select(
+        "point_id", "lon", "lat", F.explode(neighbor_cells).alias("cell")
+    )
+
+    dist = (F.col("lon") - F.col("cx")) ** 2 + (F.col("lat") - F.col("cy")) ** 2
+    w = Window.partitionBy("point_id").orderBy(F.col("dist_sq").asc(), F.col("doc_id").asc())
+    cand = (
+        probes.join(cent_idx, on="cell")
+        .select("point_id", "lon", "lat", "doc_id", dist.alias("dist_sq"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+    # completeness bound: any centroid outside the probed neighborhood is at
+    # least ring * (180 / 2^level) degrees away in some axis
+    bound_sq = (ring * 180.0 / n) ** 2
+    stats = cand.groupBy("point_id").agg(
+        F.count("*").alias("cnt"), F.max("dist_sq").alias("kth_sq")
+    )
+    complete_ids = stats.filter((F.col("cnt") >= k) & (F.col("kth_sq") <= F.lit(bound_sq)))
+    complete = cand.join(complete_ids.select("point_id"), on="point_id", how="leftsemi")
+
+    incomplete_pts = points.join(
+        complete_ids.select("point_id"), on="point_id", how="left_anti"
+    )
+    fallback = (
+        incomplete_pts.crossJoin(cents)
+        .select("point_id", "lon", "lat", "doc_id", dist.alias("dist_sq"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+    return complete.select("point_id", "rank", "doc_id", "dist_sq").unionByName(
+        fallback.select("point_id", "rank", "doc_id", "dist_sq")
+    )
+
+
+def tile_extent_join(
+    tiles: DataFrame,
+    extents: DataFrame,
+    level: int = DEFAULT_LEVEL,
+    large_cap: int = DEFAULT_LARGE_CAP,
+) -> DataFrame:
+    """(tile_id, doc_id) pairs where a raster tile's footprint overlaps a doc
+    extent.  ``tiles`` needs (tile_id, z, x, y) on the equirectangular grid;
+    the tile bbox is closed-form, then the same tiered filter-and-refine."""
+
+    tz = F.pow(F.lit(2.0), F.col("z"))
+    tbox = tiles.select(
+        "tile_id",
+        (F.lit(-180.0) + F.col("x") * (F.lit(360.0) / tz)).alias("west"),
+        (F.lit(-90.0) + F.col("y") * (F.lit(180.0) / tz)).alias("south"),
+        (F.lit(-180.0) + (F.col("x") + 1) * (F.lit(360.0) / tz)).alias("east"),
+        (F.lit(-90.0) + (F.col("y") + 1) * (F.lit(180.0) / tz)).alias("north"),
+    )
+
+    ext = _with_tier(extents, level, large_cap)
+    small = ext.filter(~F.col("is_large"))
+    large = ext.filter(F.col("is_large")).select("doc_id", "west", "south", "east", "north")
+
+    idx = cover_cells(small, level).alias("d")
+    t = tbox.withColumn(
+        "cells",
+        covering_expr(F.col("west"), F.col("south"), F.col("east"), F.col("north"), level),
+    ).select("tile_id", "west", "south", "east", "north", F.explode("cells").alias("cell")).alias("t")
+
+    corner_ix = cell_ix_expr(F.greatest("t.west", "d.west"), level)
+    corner_iy = cell_iy_expr(F.greatest("t.south", "d.south"), level)
+    small_hits = (
+        t.join(
+            idx,
+            (F.col("t.cell") == F.col("d.cell"))
+            & _overlap("t", "d")
+            & (F.col("t.cell") == cell_id_expr(level, corner_ix, corner_iy)),
+        )
+        .select("tile_id", "doc_id")
+    )
+    large_hits = (
+        tbox.alias("t")
+        .join(F.broadcast(large.alias("d")), _overlap("t", "d"))
+        .select("tile_id", "doc_id")
+    )
+    return small_hits.unionByName(large_hits)

@@ -1,0 +1,185 @@
+"""The Spark dataflow: span corpus -> dispatch -> wide metadata DataFrame.
+
+Stage map (SURVEY.md §2/§3 EP1):
+- S1 ingest: span table scan; document text reassembled JVM-side with
+  ``array_join(transform(filter(spans, ...)))`` — no Python touches the
+  corpus until the single Arrow extraction pass.
+- S2 dispatch: ``standard`` via pure column expressions (root-tag regexp +
+  probe-node search), mirrored by the kernel's detect_standard.
+- P1-P5/C1-C9 extraction: ONE ``mapInPandas`` pass per partition running the
+  shared batch kernel (gmx.extract) — Arrow-batched, no per-row Python UDFs.
+- S3 catalog resolution: remote ISO-19110 attribute catalogs are sibling
+  corpus rows; resolved with a left join + coalesce instead of the
+  reference's per-doc HTTP fetch (iso_metadata_parser.py:357-381) — the only
+  shuffle in the extraction pipeline, and it only moves the ISO slice.
+
+Scale notes: extraction is embarrassingly parallel (narrow, one pass, no
+shuffle); partition count is inherited from the corpus scan, so at 100 TB the
+same plan runs with ``spark.sql.files.maxPartitionBytes``-sized splits.  The
+catalog join uses the ``catalog_url`` key whose cardinality ~= catalog count;
+Spark auto-broadcasts when the catalog side is small, AQE handles it when not.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gmx import corpus as corpus_mod
+from gmx.extract import extract_catalog_attributes, extract_record
+from gmx.schema import CATALOG_ATTRS_SCHEMA, CORPUS_SCHEMA, METADATA_SCHEMA
+
+METADATA_STANDARDS = ("fgdc", "iso", "arcgis")
+
+
+# --------------------------------------------------------------- corpus (S1)
+
+def corpus_df(spark: SparkSession, sf_dir: str, partitions: int | None = None) -> DataFrame:
+    """Synthesize the deterministic span corpus from the driver-provided
+    ``documents.parquet`` ids (TESTDATA.md): one metadata doc per id plus
+    catalog sibling rows.  Generation runs distributed via mapInPandas."""
+
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    ids = ids.repartition(partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = corpus_mod.generate_rows(pdf["doc_id"].tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "spans": [
+                        [
+                            {"kind": k, "text": t, "media_ref": m, "offset": o}
+                            for (k, t, m, o) in spans
+                        ]
+                        for _, spans in rows
+                    ],
+                }
+            )
+
+    return ids.mapInPandas(gen, schema=CORPUS_SCHEMA)
+
+
+def with_document_text(corpus: DataFrame) -> DataFrame:
+    """Reassemble each document from its text spans and collect media refs —
+    pure JVM column expressions (S1)."""
+
+    return corpus.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.filter("spans", lambda s: s.kind == F.lit("text")), lambda s: s.text),
+            "",
+        ).alias("xml"),
+        F.transform(
+            F.filter("spans", lambda s: s.kind == F.lit("media")), lambda s: s.media_ref
+        ).alias("media_refs"),
+    )
+
+
+# ------------------------------------------------------------- dispatch (S2)
+
+def with_standard(docs: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """Standard detection as pure column expressions (dispatch rules from
+    get_metadata_parser, metadata_parser.py:46-80): ISO roots MD_/MI_Metadata;
+    a <metadata>/<Metadata> root is ArcGIS iff a probe node occurs, else FGDC."""
+
+    root = F.regexp_extract(F.col(xml_col), r"<\s*([A-Za-z_][\w.]*)", 1)
+    has_probe = (
+        F.col(xml_col).contains("<dataIdInfo")
+        | F.col(xml_col).contains("<distInfo")
+        | F.col(xml_col).contains("<dqInfo")
+        | F.col(xml_col).contains("<Esri")
+    )
+    return docs.withColumn(
+        "standard",
+        F.when(root.isin("MD_Metadata", "MI_Metadata"), F.lit("iso"))
+        .when(root == "FC_FeatureCatalogue", F.lit("iso19110"))
+        .when(root.isin("metadata", "Metadata") & has_probe, F.lit("arcgis"))
+        .when(root.isin("metadata", "Metadata"), F.lit("fgdc"))
+        .otherwise(F.lit("")),
+    )
+
+
+# ----------------------------------------------------- extraction (P1..C9)
+
+def extract_wide(docs_with_xml: DataFrame) -> DataFrame:
+    """One Arrow pass: (doc_id, xml, media_refs) -> wide metadata rows."""
+
+    out_fields = [f.name for f in METADATA_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for doc_id, xml, media in zip(pdf["doc_id"], pdf["xml"], pdf["media_refs"]):
+                rec = extract_record(xml)
+                rec["doc_id"] = doc_id
+                rec["media_refs"] = list(media) if media is not None else []
+                recs.append(rec)
+            yield pd.DataFrame({name: [r.get(name) for r in recs] for name in out_fields})
+
+    return docs_with_xml.mapInPandas(run, schema=METADATA_SCHEMA)
+
+
+def catalog_attrs_df(docs_with_xml: DataFrame) -> DataFrame:
+    """Attribute lists parsed from ISO-19110 catalog rows, keyed by the URL
+    carried in their media span (join side of S3)."""
+
+    cats = docs_with_xml.filter(F.col("xml").startswith("<FC_FeatureCatalogue")).select(
+        F.element_at("media_refs", 1).alias("catalog_url"), "xml"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "catalog_url": pdf["catalog_url"],
+                    "remote_attributes": [
+                        extract_catalog_attributes(xml) for xml in pdf["xml"]
+                    ],
+                }
+            )
+
+    return cats.mapInPandas(run, schema=CATALOG_ATTRS_SCHEMA)
+
+
+def resolve_catalog_attributes(meta: DataFrame, catalogs: DataFrame) -> DataFrame:
+    """S3 as dataflow: left join on catalog URL; remote attributes win when
+    the catalog resolved; ISO aliases default to label (C9,
+    iso_metadata_parser.py:343-355)."""
+
+    joined = meta.join(catalogs, meta.attr_catalog_url == catalogs.catalog_url, "left")
+    attrs = F.when(
+        (F.col("standard") == "iso") & F.col("remote_attributes").isNotNull(),
+        F.col("remote_attributes"),
+    ).otherwise(F.col("attributes"))
+    finished = F.when(
+        F.col("standard") == "iso",
+        F.transform(
+            attrs,
+            lambda a: F.struct(
+                a.label.alias("label"),
+                F.when(a.aliases == "", a.label).otherwise(a.aliases).alias("aliases"),
+                a.definition.alias("definition"),
+                a.definition_source.alias("definition_source"),
+            ),
+        ),
+    ).otherwise(F.col("attributes"))
+    return (
+        joined.withColumn("attributes", finished)
+        .drop("catalog_url", "remote_attributes")
+    )
+
+
+def metadata_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end EP1: corpus -> reassembled text -> extraction -> catalog
+    resolution -> wide metadata DataFrame (metadata standards only)."""
+
+    docs = with_document_text(corpus_df(spark, sf_dir))
+    wide = extract_wide(docs)
+    meta = wide.filter(F.col("standard").isin(*METADATA_STANDARDS))
+    return resolve_catalog_attributes(meta, catalog_attrs_df(docs))

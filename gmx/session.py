@@ -1,0 +1,34 @@
+"""SparkSession factory tuned for the engine.
+
+Local sandbox runs on ``local[$SPARK_GRAFT_CPUS]`` but every setting is chosen
+for the 1000-executor / 100 TB target: AQE on (runtime re-planning + skew-join
+splitting for the hot-cell joins), Arrow for all pandas interchange, shuffle
+partitions sized to the parallelism level.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "gmx", cpus: int | None = None, shuffle_partitions: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus * 2, 8)
+    return (
+        SparkSession.builder.appName(app)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # metadata XML payloads are KB-sized strings: keep Arrow batches bounded
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
