@@ -1,38 +1,75 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``   — flagship pipeline on sf0.001: span corpus -> dispatch ->
+              wide extraction -> catalog join -> extents -> cell-covering
+              tile assignment histogram.
+``queries`` — one entry per implemented operator (SURVEY.md §2 ids noted in
+              gmx.queries docstrings).
+``oracle_sql`` — DuckDB SQL recomputing expected outputs from corpus
+              arithmetic (gmx.oracles); omitted only for hash-based ops the
+              oracle engine cannot reproduce (xxhash64/crc32-based
+              fingerprint, minhash, simhash) — those get rows-only checks.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gmx import oracles, queries as Q
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+
+    from gmx.cache import cached_metadata
+    from gmx.geometry import cover_cells, extents_df
+
+    meta = cached_metadata(spark, "/root/testdata/sf0.001")
+    ext = extents_df(meta)
+    return (
+        cover_cells(ext, level=4)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("cell")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # extraction / dispatch (EP1)
+        "extract_standard_counts": Q.extract_standard_counts,
+        "extract_titles": Q.extract_titles,
+        "extract_bbox": Q.extract_bbox,
+        "extract_dates": Q.extract_dates,
+        "extract_keywords": Q.extract_keywords,
+        "extract_contacts": Q.extract_contacts,
+        "extract_attributes": Q.extract_attributes,
+        "extract_digital_forms": Q.extract_digital_forms,
+        "extract_process_steps": Q.extract_process_steps,
+        "extract_larger_works": Q.extract_larger_works,
+        "extract_raster_info": Q.extract_raster_info,
+        "extract_distribution_fields": Q.extract_distribution_fields,
+        # spatial layer (north rule)
+        "spatial_tile_cover": Q.spatial_tile_cover,
+        "spatial_bbox_overlap_join": Q.spatial_bbox_overlap_join,
+        "spatial_point_in_bbox": Q.spatial_point_in_bbox,
+        "spatial_knn": Q.spatial_knn,
+        "spatial_raster_tile_join": Q.spatial_raster_tile_join,
+        # training-data ops
+        "dedup_exact": Q.dedup_exact,
+        "text_token_count": Q.text_token_count,
+        "text_quality": Q.text_quality,
+        "text_lang_id": Q.text_lang_id,
+        "dedup_ngram_jaccard": Q.dedup_ngram_jaccard,
+        "ann_cosine_topk": Q.ann_cosine_topk,
+        # rows-only (hash functions not reproducible in the oracle engine)
+        "text_fingerprint": Q.text_fingerprint,
+        "dedup_minhash_lsh": Q.dedup_minhash_lsh,
+        "dedup_simhash": Q.dedup_simhash,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return oracles.oracle_sql()

@@ -1,0 +1,304 @@
+"""DuckDB oracle SQL for every driver-contract query.
+
+The corpus (gmx.corpus) makes every metadata field a pure arithmetic function
+of doc_id, so these oracles recompute the *expected* outputs directly from the
+``documents``/``customer``/``embeddings`` views — they never parse XML.  A
+match therefore certifies the whole Spark path (span synthesis -> reassembly ->
+dispatch -> extraction -> joins) end-to-end, not just that two engines ran the
+same query.
+
+All arithmetic stays in integers (half-degree lattice, quantized embeddings)
+so DuckDB and Spark agree bit-for-bit; see gmx.corpus docstring.
+"""
+
+from __future__ import annotations
+
+CELL_BASE = 268435456  # 2^28, matches gmx.geometry.cellgrid.CELL_BASE
+Z = 4
+NX = 1 << Z
+
+
+def _d(expr: str) -> str:
+    """Deterministic date string of an integer expression (corpus.date_str)."""
+
+    return (
+        f"printf('%04d-%02d-%02d', 2000+({expr})%22, 1+({expr})%12, 1+({expr})%28)"
+    )
+
+
+# extents CTE: the bbox arithmetic from corpus.bbox_halfdeg, in half-degrees
+EXT = """
+ext AS (
+  SELECT doc_id AS i,
+         printf('doc-%08d', doc_id) AS did,
+         CASE doc_id%3 WHEN 0 THEN 'fgdc' WHEN 1 THEN 'iso' ELSE 'arcgis' END AS standard,
+         CASE WHEN doc_id%97=0 THEN -360 ELSE -360 + (doc_id*37)%680 END AS wh,
+         CASE WHEN doc_id%97=0 THEN -180 ELSE -180 + (doc_id*53)%330 END AS sh,
+         CASE WHEN doc_id%97=0 THEN 360
+              ELSE least(-360 + (doc_id*37)%680 + 1 + (doc_id*13)%40, 360) END AS eh,
+         CASE WHEN doc_id%97=0 THEN 180
+              ELSE least(-180 + (doc_id*53)%330 + 1 + (doc_id*29)%30, 180) END AS nh
+  FROM documents
+)"""
+
+# query points from customer keys (gmx.queries._points), half-degrees
+PTS = """
+pts AS (
+  SELECT c_custkey AS point_id,
+         -360 + (c_custkey*91)%720 AS xh,
+         -180 + (c_custkey*73)%360 AS yh
+  FROM customer
+)"""
+
+# cell indices at level Z from half-degree ints (== floor-of-double formulas,
+# equivalence exhaustively checked for the full lattice)
+_IX = f"least((({{v}}+360)*{NX})//720, {NX - 1})"
+_IY = f"least((({{v}}+180)*{NX})//360, {NX - 1})"
+
+
+def _cell(ix: str, iy: str) -> str:
+    return f"(CAST({Z} AS BIGINT)*{CELL_BASE} + ({ix}))*{CELL_BASE} + ({iy})"
+
+
+def oracle_sql() -> dict[str, str]:
+    o: dict[str, str] = {}
+
+    o["extract_standard_counts"] = f"""
+WITH {EXT}
+SELECT standard, count(*) AS n FROM ext GROUP BY standard"""
+
+    o["extract_titles"] = f"""
+WITH {EXT}
+SELECT did AS doc_id, standard, printf('Dataset %d', i) AS title FROM ext"""
+
+    o["extract_bbox"] = f"""
+WITH {EXT}
+SELECT did AS doc_id,
+       printf('%.1f', wh/2.0) AS west,
+       printf('%.1f', sh/2.0) AS south,
+       printf('%.1f', eh/2.0) AS east,
+       printf('%.1f', nh/2.0) AS north
+FROM ext"""
+
+    o["extract_dates"] = f"""
+WITH {EXT}
+SELECT did AS doc_id,
+       CASE i%4 WHEN 0 THEN 'single' WHEN 1 THEN 'multiple' WHEN 2 THEN 'range' ELSE '' END AS date_type,
+       CASE i%4
+         WHEN 0 THEN {_d('i')}
+         WHEN 1 THEN {_d('i')} || '|' || {_d('i+500000')} || '|' || {_d('i+1000000')}
+         WHEN 2 THEN {_d('i')} || '|' || {_d('i+500000')}
+         ELSE '' END AS date_values
+FROM ext"""
+
+    o["extract_keywords"] = f"""
+WITH {EXT}
+SELECT did AS doc_id,
+       printf('Place %d|Region %d', i%7, i%5) AS place,
+       printf('Theme %d', i%11) AS theme,
+       CASE WHEN i%2=0 THEN printf('Stratum %d', i%4) ELSE '' END AS stratum,
+       printf('Temporal %d', i%6) AS temporal
+FROM ext"""
+
+    o["extract_contacts"] = f"""
+WITH {EXT}
+SELECT did AS doc_id,
+       CASE 1+i%3
+         WHEN 1 THEN printf('Person %d', i*4)
+         WHEN 2 THEN printf('Person %d|Person %d', i*4, i*4+1)
+         ELSE printf('Person %d|Person %d|Person %d', i*4, i*4+1, i*4+2) END AS names,
+       CASE 1+i%3
+         WHEN 1 THEN printf('person%d@example.org', i*4)
+         WHEN 2 THEN printf('person%d@example.org|person%d@example.org', i*4, i*4+1)
+         ELSE printf('person%d@example.org|person%d@example.org|person%d@example.org',
+                     i*4, i*4+1, i*4+2) END AS emails,
+       CASE 1+i%3
+         WHEN 1 THEN printf('ContactOrg %d', i%17)
+         WHEN 2 THEN printf('ContactOrg %d|ContactOrg %d', i%17, (i+1)%17)
+         ELSE printf('ContactOrg %d|ContactOrg %d|ContactOrg %d',
+                     i%17, (i+1)%17, (i+2)%17) END AS orgs
+FROM ext"""
+
+    o["extract_attributes"] = f"""
+WITH {EXT}
+SELECT did AS doc_id,
+       CASE WHEN standard='iso' AND i%25<>0 AND i%5=0
+            THEN printf('CatAttr %d|CatAttr %d', 2*i, 2*i+1)
+            ELSE printf('Attr %d|Attr %d', 2*i, 2*i+1) END AS labels,
+       CASE WHEN standard='iso' AND i%25<>0 AND i%5=0
+            THEN printf('CatAttr %d|CatAttr %d', 2*i, 2*i+1)
+            WHEN standard='iso'
+            THEN printf('Attr %d|Attr %d', 2*i, 2*i+1)
+            ELSE printf('Alias %d|Alias %d', 2*i, 2*i+1) END AS aliases
+FROM ext"""
+
+    o["extract_digital_forms"] = f"""
+WITH {EXT}
+SELECT did AS doc_id,
+       CASE WHEN i%2=0 THEN printf('Format %d-0', i)
+            ELSE printf('Format %d-0|Format %d-1', i, i) END AS names,
+       CASE WHEN i%2=0 THEN printf('Content %d-0', i)
+            ELSE printf('Content %d-0|Content %d-1', i, i) END AS contents,
+       CASE WHEN i%2=0 THEN printf('Spec %d-0', i)
+            ELSE printf('Spec %d-0|Spec %d-1', i, i) END AS specs
+FROM ext"""
+
+    o["extract_process_steps"] = f"""
+WITH {EXT}
+SELECT did AS doc_id,
+       CASE WHEN i%2=0 THEN printf('Process step %d-0', i)
+            ELSE printf('Process step %d-0|Process step %d-1', i, i) END AS descriptions,
+       CASE WHEN i%2=0 THEN printf('Src %d-0-0|Src %d-0-1', i, i)
+            ELSE printf('Src %d-0-0|Src %d-0-1|Src %d-1-0|Src %d-1-1', i, i, i, i)
+            END AS all_sources
+FROM ext"""
+
+    o["extract_larger_works"] = f"""
+WITH {EXT}
+SELECT did AS doc_id,
+       printf('Larger work %d', i%23) AS lw_title,
+       printf('Ed %d', i%3) AS lw_edition,
+       printf('LW Author %d', i%13) AS lw_origin,
+       printf('LW City %d', i%15) AS lw_place
+FROM ext WHERE i%2=1"""
+
+    o["extract_raster_info"] = f"""
+WITH {EXT}
+SELECT did AS doc_id,
+       CASE WHEN i%10=1 THEN '3' ELSE '2' END AS dimensions,
+       printf('%d', 100 + i%900) AS row_count,
+       printf('%d', 100 + i%800) AS column_count,
+       CASE WHEN i%10=1 THEN printf('%d', 1 + i%50) ELSE '' END AS vertical_count,
+       printf('%d meters', 1 + i%30) AS x_resolution
+FROM ext WHERE i%5=1"""
+
+    o["extract_distribution_fields"] = f"""
+WITH {EXT}
+SELECT did AS doc_id,
+       {_d('i')} AS publish_date,
+       printf('dist%d@example.org', i%50) AS dist_email,
+       printf('Use constraint %d', i%3) AS use_constraints,
+       CASE WHEN i%2=0 THEN 'mailing' ELSE 'physical' END AS dist_address_type,
+       printf('%d', i%100) AS processing_fees
+FROM ext"""
+
+    ix0, ix1 = _IX.format(v="wh"), _IX.format(v="eh")
+    iy0, iy1 = _IY.format(v="sh"), _IY.format(v="nh")
+    o["spatial_tile_cover"] = f"""
+WITH {EXT}
+SELECT did AS doc_id,
+       UNNEST(flatten([[{_cell('ix', 'iy')} for iy in range({iy0}, ({iy1})+1)]
+                       for ix in range({ix0}, ({ix1})+1)])) AS cell
+FROM ext"""
+
+    o["spatial_bbox_overlap_join"] = f"""
+WITH {EXT}
+SELECT a.did AS a_id, b.did AS b_id
+FROM ext a JOIN ext b
+  ON a.i < b.i AND a.wh <= b.eh AND b.wh <= a.eh AND a.sh <= b.nh AND b.sh <= a.nh"""
+
+    o["spatial_point_in_bbox"] = f"""
+WITH {EXT}, {PTS}
+SELECT p.point_id, e.did AS doc_id
+FROM pts p JOIN ext e
+  ON e.wh <= p.xh AND p.xh <= e.eh AND e.sh <= p.yh AND p.yh <= e.nh"""
+
+    o["spatial_knn"] = f"""
+WITH {EXT}, {PTS}
+SELECT point_id, rank, doc_id FROM (
+  SELECT p.point_id, e.did AS doc_id,
+         row_number() OVER (
+           PARTITION BY p.point_id
+           ORDER BY (2*p.xh - (e.wh+e.eh))*(2*p.xh - (e.wh+e.eh))
+                  + (2*p.yh - (e.sh+e.nh))*(2*p.yh - (e.sh+e.nh)) ASC,
+                    e.did ASC) AS rank
+  FROM pts p CROSS JOIN ext e
+) WHERE rank <= 5"""
+
+    # tile footprints in quarter-degrees so everything stays integral
+    o["spatial_raster_tile_join"] = f"""
+WITH {EXT},
+tiles AS (
+  SELECT printf('t{Z}-%d-%d', x, y) AS tile_id,
+         -720 + x*{1440 // NX} AS twq, -720 + (x+1)*{1440 // NX} AS teq,
+         -360 + y*{720 // NX} AS tsq, -360 + (y+1)*{720 // NX} AS tnq
+  FROM (SELECT UNNEST(range(0, {NX})) AS x), (SELECT UNNEST(range(0, {NX})) AS y)
+)
+SELECT t.tile_id, e.did AS doc_id
+FROM tiles t JOIN ext e
+  ON t.twq <= 2*e.eh AND 2*e.wh <= t.teq AND t.tsq <= 2*e.nh AND 2*e.sh <= t.tnq"""
+
+    o["dedup_exact"] = """
+SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM documents GROUP BY 1"""
+
+    o["text_token_count"] = """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents"""
+
+    o["text_quality"] = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' ')))*1000
+            // len(string_split(text, ' ')) AS BIGINT) AS distinct_per_mille
+FROM documents"""
+
+    markers = {
+        "en": ("the", "and", "of", "to", "in"),
+        "es": ("el", "la", "de", "que", "los"),
+        "de": ("der", "und", "die", "das", "nicht"),
+        "fr": ("le", "la", "et", "les", "des"),
+    }
+    score_exprs = ", ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x IN ({', '.join(repr(m) for m in ms)}))) AS s_{lang}"
+        for lang, ms in markers.items()
+    )
+    o["text_lang_id"] = f"""
+WITH scored AS (SELECT doc_id, {score_exprs} FROM documents),
+best AS (SELECT *, greatest(s_en, s_es, s_de, s_fr) AS b FROM scored)
+SELECT doc_id,
+       CASE WHEN b = 0 THEN 'und'
+            WHEN s_en = b THEN 'en'
+            WHEN s_es = b THEN 'es'
+            WHEN s_de = b THEN 'de'
+            ELSE 'fr' END AS lang_guess
+FROM best"""
+
+    o["dedup_ngram_jaccard"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3
+              THEN list_distinct([array_to_string(words[i:i+2], ' ')
+                                  for i in range(1, len(words)-1)])
+              ELSE [array_to_string(words, ' ')] END AS sh
+  FROM w),
+e AS (SELECT doc_id, len(sh) AS n_sh, UNNEST(sh) AS g FROM s),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS inter
+  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT a_id, b_id, CAST(inter*1000 // (na+nb-inter) AS BIGINT) AS jaccard_per_mille
+FROM pairs WHERE inter*1000 // (na+nb-inter) >= 100"""
+
+    o["ann_cosine_topk"] = """
+WITH q AS (
+  SELECT vec_id,
+         [CAST(floor(CAST(embedding[i] AS DOUBLE)*1000 + 0.5) AS BIGINT)
+          for i in range(1, len(embedding)+1)] AS v
+  FROM embeddings),
+n AS (SELECT vec_id, v, CAST(list_sum([x*x for x in v]) AS BIGINT) AS nrm FROM q),
+p AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         CAST(list_sum([a.v[i]*b.v[i] for i in range(1, len(a.v)+1)]) AS BIGINT) AS dot,
+         a.nrm AS qn, b.nrm AS nn
+  FROM n a JOIN n b ON a.vec_id % 100 = 0 AND b.vec_id <> a.vec_id)
+SELECT qid AS query_id, rank, nid AS neighbor_id FROM (
+  SELECT qid, nid,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY CAST(dot AS DOUBLE)/sqrt(CAST(qn*nn AS DOUBLE)) DESC, nid ASC) AS rank
+  FROM p) WHERE rank <= 5"""
+
+    return o

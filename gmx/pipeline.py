@@ -72,11 +72,11 @@ def with_document_text(corpus: DataFrame) -> DataFrame:
     return corpus.select(
         "doc_id",
         F.array_join(
-            F.transform(F.filter("spans", lambda s: s.kind == F.lit("text")), lambda s: s.text),
+            F.transform(F.filter("spans", lambda s: s["kind"] == F.lit("text")), lambda s: s["text"]),
             "",
         ).alias("xml"),
         F.transform(
-            F.filter("spans", lambda s: s.kind == F.lit("media")), lambda s: s.media_ref
+            F.filter("spans", lambda s: s["kind"] == F.lit("media")), lambda s: s["media_ref"]
         ).alias("media_refs"),
     )
 
@@ -162,10 +162,10 @@ def resolve_catalog_attributes(meta: DataFrame, catalogs: DataFrame) -> DataFram
         F.transform(
             attrs,
             lambda a: F.struct(
-                a.label.alias("label"),
-                F.when(a.aliases == "", a.label).otherwise(a.aliases).alias("aliases"),
-                a.definition.alias("definition"),
-                a.definition_source.alias("definition_source"),
+                a["label"].alias("label"),
+                F.when(a["aliases"] == "", a["label"]).otherwise(a["aliases"]).alias("aliases"),
+                a["definition"].alias("definition"),
+                a["definition_source"].alias("definition_source"),
             ),
         ),
     ).otherwise(F.col("attributes"))

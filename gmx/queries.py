@@ -1,0 +1,261 @@
+"""Driver-contract query implementations.
+
+Every function takes (spark, sf_dir) and returns a DataFrame whose column
+names/values match the DuckDB oracle in gmx.oracles exactly (the driver
+hash-compares sorted columns).  Output columns are strings/bigints only —
+doubles never cross the comparison boundary, so engine float-formatting can
+never cause a false mismatch.  SURVEY.md §2 operator ids noted per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gmx.cache import cached_metadata
+from gmx.geometry import (
+    bbox_overlap_pairs,
+    cover_cells,
+    extents_df,
+    knn_points,
+    point_in_bbox,
+    tile_extent_join,
+)
+from gmx.textops import (
+    cosine_topk,
+    exact_dup_groups,
+    lang_id,
+    minhash_pairs,
+    ngram_jaccard_pairs,
+    quality_scores,
+    rolling_fingerprint,
+    simhash_buckets,
+    token_counts,
+)
+
+TILE_Z = 4
+KNN_K = 5
+
+
+def _join(col, sep: str = "|"):
+    return F.coalesce(F.array_join(col, sep), F.lit(""))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic query points derived from customer keys (half-degree
+    lattice; mirrored by the oracle's pts CTE)."""
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    return c.select(
+        F.col("c_custkey").alias("point_id"),
+        ((F.lit(-360) + F.pmod(F.col("c_custkey") * 91, F.lit(720))) / 2.0).alias("lon"),
+        ((F.lit(-180) + F.pmod(F.col("c_custkey") * 73, F.lit(360))) / 2.0).alias("lat"),
+    )
+
+
+def _tiles(spark: SparkSession) -> DataFrame:
+    n = 1 << TILE_Z
+    x = F.col("id") % n
+    y = F.floor(F.col("id") / n).cast("long")
+    return spark.range(n * n).select(
+        F.format_string(f"t{TILE_Z}-%d-%d", x, y).alias("tile_id"),
+        F.lit(TILE_Z).alias("z"),
+        x.cast("int").alias("x"),
+        y.cast("int").alias("y"),
+    )
+
+
+# ------------------------------------------------- extraction queries (EP1)
+
+def extract_standard_counts(spark, sf_dir):
+    """S2 dispatch: per-standard document counts."""
+    return cached_metadata(spark, sf_dir).groupBy("standard").agg(F.count("*").alias("n"))
+
+
+def extract_titles(spark, sf_dir):
+    """P1 scalar extraction through the full span->XML->extract path."""
+    return cached_metadata(spark, sf_dir).select("doc_id", "standard", "title")
+
+
+def extract_bbox(spark, sf_dir):
+    """C1 complex-struct extraction (bounding_box, string parity layer)."""
+    m = cached_metadata(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        F.col("bounding_box.west").alias("west"),
+        F.col("bounding_box.south").alias("south"),
+        F.col("bounding_box.east").alias("east"),
+        F.col("bounding_box.north").alias("north"),
+    )
+
+
+def extract_dates(spark, sf_dir):
+    """C3 date-type inference cascade."""
+    m = cached_metadata(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        F.coalesce(F.col("dates.type"), F.lit("")).alias("date_type"),
+        _join(F.col("dates.values")).alias("date_values"),
+    )
+
+
+def extract_keywords(spark, sf_dir):
+    """C4/P1 keyword extraction (ISO type-filtered groups vs plain lists)."""
+    m = cached_metadata(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        _join("place_keywords").alias("place"),
+        _join("thematic_keywords").alias("theme"),
+        _join("stratum_keywords").alias("stratum"),
+        _join("temporal_keywords").alias("temporal"),
+    )
+
+
+def extract_contacts(spark, sf_dir):
+    """C2 complex-list extraction with per-standard fallback locations."""
+    m = cached_metadata(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        _join(F.transform("contacts", lambda c: c["name"])).alias("names"),
+        _join(F.transform("contacts", lambda c: c["email"])).alias("emails"),
+        _join(F.transform("contacts", lambda c: c["organization"])).alias("orgs"),
+    )
+
+
+def extract_attributes(spark, sf_dir):
+    """C9/S3: attribute details incl. remote-catalog join + aliases default."""
+    m = cached_metadata(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        _join(F.transform("attributes", lambda a: a["label"])).alias("labels"),
+        _join(F.transform("attributes", lambda a: a["aliases"])).alias("aliases"),
+    )
+
+
+def extract_digital_forms(spark, sf_dir):
+    """C5/C6: digital-forms zip-merge and ISO sentinel content split."""
+    m = cached_metadata(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        _join(F.transform("digital_forms", lambda d: d["name"])).alias("names"),
+        _join(F.transform("digital_forms", lambda d: d["content"])).alias("contents"),
+        _join(F.transform("digital_forms", lambda d: d["specification"])).alias("specs"),
+    )
+
+
+def extract_process_steps(spark, sf_dir):
+    """C2 with nested multi-valued sub-property (sources)."""
+    m = cached_metadata(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        _join(F.transform("process_steps", lambda s: s["description"])).alias("descriptions"),
+        _join(F.flatten(F.transform("process_steps", lambda s: s["sources"]))).alias("all_sources"),
+    )
+
+
+def extract_larger_works(spark, sf_dir):
+    """C1 struct with multi-valued origin."""
+    m = cached_metadata(spark, sf_dir)
+    return m.filter(F.col("larger_works").isNotNull()).select(
+        "doc_id",
+        F.col("larger_works.title").alias("lw_title"),
+        F.col("larger_works.edition").alias("lw_edition"),
+        _join(F.col("larger_works.origin")).alias("lw_origin"),
+        F.col("larger_works.publish_place").alias("lw_place"),
+    )
+
+
+def extract_raster_info(spark, sf_dir):
+    """C7 raster-dims pivot (ISO/ArcGIS) and flat FGDC paths."""
+    m = cached_metadata(spark, sf_dir)
+    return m.filter(F.col("raster_info").isNotNull()).select(
+        "doc_id",
+        F.col("raster_info.dimensions").alias("dimensions"),
+        F.col("raster_info.row_count").alias("row_count"),
+        F.col("raster_info.column_count").alias("column_count"),
+        F.col("raster_info.vertical_count").alias("vertical_count"),
+        F.col("raster_info.x_resolution").alias("x_resolution"),
+    )
+
+
+def extract_distribution_fields(spark, sf_dir):
+    """P1 grab-bag incl. attribute-path extraction (dist_address_type @attr)."""
+    m = cached_metadata(spark, sf_dir)
+    return m.select(
+        "doc_id", "publish_date", "dist_email", "use_constraints",
+        "dist_address_type", "processing_fees",
+    )
+
+
+# --------------------------------------------------------- spatial queries
+
+def _extents(spark, sf_dir):
+    return extents_df(cached_metadata(spark, sf_dir))
+
+
+def spatial_tile_cover(spark, sf_dir):
+    """Cell-covering index (tile assignment) at level 4."""
+    return cover_cells(_extents(spark, sf_dir), level=TILE_Z).select("doc_id", "cell")
+
+
+def spatial_bbox_overlap_join(spark, sf_dir):
+    """Bbox-overlap self-join: filter-and-refine + skew tiering."""
+    return bbox_overlap_pairs(_extents(spark, sf_dir))
+
+
+def spatial_point_in_bbox(spark, sf_dir):
+    """Point-in-polygon (bbox) join, salted small tier."""
+    return point_in_bbox(_points(spark, sf_dir), _extents(spark, sf_dir), salt=4)
+
+
+def spatial_knn(spark, sf_dir):
+    """Exact kNN over extent centroids (cell-neighborhood probe + fallback)."""
+    return knn_points(_points(spark, sf_dir), _extents(spark, sf_dir), k=KNN_K).select(
+        "point_id", "rank", "doc_id"
+    )
+
+
+def spatial_raster_tile_join(spark, sf_dir):
+    """Raster-tile footprint to metadata-extent join."""
+    return tile_extent_join(_tiles(spark), _extents(spark, sf_dir))
+
+
+# ---------------------------------------------- training-data ops (documents)
+
+def dedup_exact(spark, sf_dir):
+    return exact_dup_groups(_docs(spark, sf_dir))
+
+
+def text_token_count(spark, sf_dir):
+    return token_counts(_docs(spark, sf_dir))
+
+
+def text_quality(spark, sf_dir):
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def text_lang_id(spark, sf_dir):
+    return lang_id(_docs(spark, sf_dir))
+
+
+def text_fingerprint(spark, sf_dir):
+    return rolling_fingerprint(_docs(spark, sf_dir))
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.1)
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    return minhash_pairs(_docs(spark, sf_dir), threshold=0.1)
+
+
+def dedup_simhash(spark, sf_dir):
+    return simhash_buckets(_docs(spark, sf_dir))
+
+
+def ann_cosine_topk(spark, sf_dir):
+    return cosine_topk(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=KNN_K)

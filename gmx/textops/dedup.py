@@ -1,0 +1,164 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Scale shapes:
+- exact: hash-groupBy on md5 (one shuffle, map-side partial agg)
+- MinHash+LSH: shingles -> K minhashes -> B bands -> explode(band keys) ->
+  self-join on band key -> candidate pairs -> exact Jaccard verify.  At
+  100 TB the band join replaces the quadratic all-pairs comparison; band
+  buckets are the shuffle keys (salt-able if a bucket explodes).
+- SimHash: 64-bit sign-aggregated token hashes; near-dups share prefix
+  buckets.
+All hashing uses crc32/xxhash64 built-ins so results are engine-deterministic
+and reproducible without Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# fixed odd multipliers for the K minhash permutations (h_i(x) = (a_i*x+b_i) mod M).
+# Shingle hashes are first reduced into a 31-bit field so a_i*x never
+# overflows int64 under ANSI mode.
+MINHASH_PRIME = (1 << 31) - 1
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: (text_md5, n_docs, min_doc_id)."""
+
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(F.count("*").cast("long").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )
+
+
+def _shingles(text_col: str, n: int = 3):
+    """Word n-gram shingle array (distinct), built with JVM expressions."""
+
+    toks = F.split(F.col(text_col), " ")
+    k = F.size(toks) - F.lit(n - 1)
+    return F.array_distinct(
+        F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text", num_hashes: int = 16, shingle: int = 3) -> DataFrame:
+    """(doc_id, sig: array<long>): K minhashes over word-shingle xxhash64s."""
+
+    sh = _shingles(text_col, shingle)
+    hashes = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME).cast("long")))
+    sig = F.array(*[
+        F.array_min(
+            F.transform(
+                hashes,
+                lambda h: F.pmod(h * F.lit(2 * i + 1).cast("long") + F.lit(7 * i + 3).cast("long"),
+                                 F.lit(MINHASH_PRIME).cast("long")),
+            )
+        )
+        for i in range(num_hashes)
+    ])
+    return docs.select("doc_id", sig.alias("sig"))
+
+
+def minhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidate generation + exact Jaccard verification.
+
+    bands x rows layout: docs sharing any band's row-hash tuple become
+    candidates; candidates are verified with exact shingle Jaccard via an
+    array intersection (no re-shuffle of the corpus — shingle arrays ride
+    along the band explode).  Returns (a_id, b_id, jaccard_per_mille).
+    """
+
+    rows = num_hashes // bands
+    sh = _shingles(text_col, shingle)
+    base = docs.select("doc_id", sh.alias("shingles"))
+    sigs = minhash_signatures(docs, text_col, num_hashes, shingle)
+    d = base.join(sigs, "doc_id")
+
+    band_keys = F.array(*[
+        F.xxhash64(F.lit(b), *[F.element_at("sig", b * rows + r + 1) for r in range(rows)])
+        for b in range(bands)
+    ])
+    exploded = d.select("doc_id", "shingles", F.explode(band_keys).alias("band_key"))
+
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.shingles").alias("sa"),
+            F.col("b.shingles").alias("sb"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    jac = (inter.cast("long") * 1000 / union).cast("long")
+    return (
+        cand.select("a_id", "b_id", jac.alias("jaccard_per_mille"))
+        .filter(F.col("jaccard_per_mille") >= int(threshold * 1000))
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", shingle: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted index:
+    explode shingles -> self-join on shingle -> count shared -> Jaccard.
+    The shuffle key is the shingle (long tail, naturally spread); stop-shingle
+    capping keeps hot shingles bounded."""
+
+    sh = _shingles(text_col, shingle)
+    base = docs.select("doc_id", sh.alias("shingles")).withColumn("n_sh", F.size("shingles"))
+    inv = base.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = (F.col("inter") * 1000 / (F.col("na") + F.col("nb") - F.col("inter"))).cast("long")
+    return shared.select("a_id", "b_id", jac.alias("jaccard_per_mille")).filter(
+        F.col("jaccard_per_mille") >= int(threshold * 1000)
+    )
+
+
+def simhash_buckets(docs: DataFrame, text_col: str = "text", prefix_bits: int = 16) -> DataFrame:
+    """64-bit SimHash per doc + a prefix bucket for near-dup blocking.
+
+    Bit b of the simhash is the sign of sum over tokens of (+1/-1) depending
+    on bit b of xxhash64(token) — computed with aggregate() over the token
+    array, entirely JVM-side.  Returns (doc_id, simhash, bucket)."""
+
+    toks = F.split(F.col(text_col), " ")
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_sum(b: int):
+        return F.aggregate(
+            th,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1).cast("long")) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim + F.when(bit_sum(b) > 0, F.lit(1).cast("long") * (1 << b) if b < 63 else F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+    bucket = F.shiftrightunsigned(sim, 64 - prefix_bits)
+    return docs.select("doc_id", sim.alias("simhash"), bucket.alias("bucket"))

@@ -1,0 +1,80 @@
+"""Text-analysis operators for training-data pipelines over ``documents``.
+
+All hot-path logic is built-in column expressions (JVM, whole-stage codegen);
+nothing here drops to Python.  Deterministic integer/string outputs so results
+hash identically across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# tiny per-language marker lexicons for the n-gram/stopword language heuristic
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "in"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "und", "die", "das", "nicht"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens): whitespace tokenization via split — stays in
+    codegen; identical semantics to the oracle's string_split."""
+
+    return docs.select(
+        "doc_id", F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens")
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: length, token count, distinct-token ratio
+    (per-mille, integer so cross-engine exact)."""
+
+    toks = F.split(F.col(text_col), " ")
+    return docs.select(
+        "doc_id",
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("long") * F.lit(1000) / F.size(toks))
+        .cast("long")
+        .alias("distinct_per_mille"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language heuristic: count marker-token hits per language
+    over the token array, argmax (ties by language code order).  Pure
+    aggregate expressions — no UDF."""
+
+    toks = F.split(F.col(text_col), " ")
+    scored = docs.select(
+        "doc_id",
+        *[
+            F.size(F.filter(toks, lambda t: t.isin(*markers))).alias(f"score_{lang}")
+            for lang, markers in LANG_MARKERS.items()
+        ],
+    )
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    guess = F.lit("und")
+    # reversed so earlier languages win ties
+    for lang in reversed(langs):
+        guess = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(guess)
+    guess = F.when(best == 0, F.lit("und")).otherwise(guess)
+    return scored.select("doc_id", guess.alias("lang_guess"))
+
+
+def rolling_fingerprint(docs: DataFrame, text_col: str = "text", mod: int = 1 << 40) -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash over
+    token crc32s, folded with aggregate() — a deterministic cheap content id
+    (distinct from md5: stable under our own definition, shardable).
+    ``mod`` is capped so acc*base + crc32 never overflows int64 (ANSI mode)."""
+
+    toks = F.split(F.col(text_col), " ")
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * F.lit(1000003).cast("long") + F.crc32(t).cast("long"), F.lit(mod).cast("long")),
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))

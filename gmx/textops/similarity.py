@@ -1,0 +1,97 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k as a broadcast join + window — exact, and
+the yardstick for any approximate path.  Scale path: LSH bucketing via
+random-hyperplane signs (sign bits of dot products with fixed pseudo-random
+planes), which turns the all-pairs comparison into an equi-join on bucket.
+
+Cross-engine determinism: embeddings are quantized to integers
+(floor(x*1000 + 0.5), exact for float32 inputs), so dot products and norms
+are exact integer arithmetic and the final score sqrt/divide are correctly
+rounded IEEE ops — bit-identical between Spark and the DuckDB oracle, which
+makes top-k ranking (score desc, id asc) reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+QUANT = 1000
+
+
+def _quantized(col):
+    return F.transform(col, lambda x: F.floor(x.cast("double") * QUANT + F.lit(0.5)).cast("long"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    query_mod: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: every ``query_mod``-th vector queries the corpus.
+
+    Plan: broadcast the (small) query side against the corpus stream, score
+    JVM-side with zip_with/aggregate (no Python), window per query.
+    Returns (query_id, rank, neighbor_id)."""
+
+    base = embeddings.select(
+        F.col(id_col).alias("nid"),
+        _quantized(F.col(vec_col)).alias("nvec"),
+    ).withColumn("nnorm", _dot(F.col("nvec"), F.col("nvec")))
+
+    queries = (
+        base.filter(F.pmod(F.col("nid"), F.lit(query_mod)) == 0)
+        .select(F.col("nid").alias("qid"), F.col("nvec").alias("qvec"), F.col("nnorm").alias("qnorm"))
+    )
+
+    score = _dot(F.col("qvec"), F.col("nvec")) / F.sqrt((F.col("qnorm") * F.col("nnorm")).cast("double"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
+    return (
+        base.join(F.broadcast(queries), F.col("qid") != F.col("nid"))
+        .select("qid", "nid", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("rank"),
+            F.col("nid").alias("neighbor_id"),
+        )
+    )
+
+
+def lsh_buckets(embeddings: DataFrame, planes: int = 16, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane LSH signature: bit p = sign(dot(vec, plane_p)) with
+    plane components derived from a fixed hash of (p, dim) — reproducible
+    without shipping plane data.  Returns (vec_id, bucket)."""
+
+    q = _quantized(F.col(vec_col))
+    idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+
+    def plane_dot(p: int):
+        # pseudo-random +/-1 plane from xxhash64(p, dim) parity
+        return F.aggregate(
+            F.zip_with(
+                q,
+                idx,
+                lambda x, i: F.when(
+                    F.pmod(F.xxhash64(F.lit(p), i), F.lit(2)) == 0, x
+                ).otherwise(-x),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        bucket = bucket + F.when(plane_dot(p) > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return embeddings.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
