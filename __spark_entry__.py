@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_larger_works": Q.extract_larger_works,
         "extract_raster_info": Q.extract_raster_info,
         "extract_distribution_fields": Q.extract_distribution_fields,
+        "convert_to_iso": Q.convert_to_iso,
+        "validate_quarantine": Q.validate_quarantine,
         # spatial layer (north rule)
         "spatial_tile_cover": Q.spatial_tile_cover,
         "spatial_bbox_overlap_join": Q.spatial_bbox_overlap_join,

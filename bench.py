@@ -1,0 +1,118 @@
+"""Bench harness: spatial-join + tile-assignment pipeline throughput.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+  {"metric": ..., "value": spatial_pipeline_sec, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "docs": N, "docs_per_sec": ...}
+
+``value`` is the wall time of the north-rule pipeline (corpus -> extraction ->
+cell index -> bbox-overlap / PIP / kNN / tile joins) over
+``GMX_BENCH_SCALE`` x |documents| synthesized docs (default x40).  Fixed-size
+auxiliary ops (dedup/ANN over the raw sf tables) are timed and reported in
+``queries`` but excluded from the headline value, matching BASELINE.json's
+metric ("spatial-join + tile-assignment throughput (docs/sec)").
+
+A small untimed warm-up pass runs every query shape first so JIT compilation
+and Python-worker spawn (one-time costs on a long-lived cluster) don't skew
+the steady-state measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SPATIAL = ("extract", "tile_cover", "bbox_overlap", "point_in_bbox", "knn", "tile_join")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    scale = int(os.environ.get("GMX_BENCH_SCALE", "40"))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from gmx import pipeline as P
+    from gmx.geometry import (
+        bbox_overlap_pairs,
+        cover_cells,
+        extents_df,
+        knn_points,
+        point_in_bbox,
+        tile_extent_join,
+    )
+    from gmx.queries import _points, _tiles
+    from gmx.session import get_spark
+    from gmx.textops import cosine_topk, minhash_pairs
+    from gmx.session import get_spark
+
+    spark = get_spark("gmx-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    raw_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    raw_docs.count()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+    emb.count()
+    pts = _points(spark, sf_dir).persist()
+    pts.count()
+    tiles = _tiles(spark)
+
+    # ---- warm-up (untimed): every query shape once at scale 1
+    warm_meta = P.metadata_df(spark, sf_dir, scale=1).persist()
+    warm_meta.count()
+    warm_ext = extents_df(warm_meta).persist()
+    warm_ext.count()
+    cover_cells(warm_ext, 4).count()
+    bbox_overlap_pairs(warm_ext).count()
+    point_in_bbox(pts, warm_ext, salt=4).count()
+    knn_points(pts, warm_ext).count()
+    tile_extent_join(tiles, warm_ext).count()
+    minhash_pairs(raw_docs, threshold=0.1).count()
+    cosine_topk(emb).count()
+    warm_meta.unpersist()
+    warm_ext.unpersist()
+
+    # ---- timed runs
+    times: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        times[name] = round(time.time() - t0, 3)
+        return out
+
+    meta = P.metadata_df(spark, sf_dir, scale=scale).persist()
+    n_docs = timed("extract", meta.count)
+
+    ext = extents_df(meta).persist()
+    ext.count()
+
+    timed("tile_cover", cover_cells(ext, 4).count)
+    timed("bbox_overlap", bbox_overlap_pairs(ext).count)
+    timed("point_in_bbox", lambda: point_in_bbox(pts, ext, salt=4).count())
+    timed("knn", lambda: knn_points(pts, ext).count())
+    timed("tile_join", lambda: tile_extent_join(tiles, ext).count())
+
+    timed("minhash_dedup", lambda: minhash_pairs(raw_docs, threshold=0.1).count())
+    timed("ann_cosine", lambda: cosine_topk(emb).count())
+
+    spatial_sec = round(sum(times[q] for q in SPATIAL), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(json.dumps({
+        "metric": "spatial-join + tile-assignment pipeline wall time (docs/sec in docs_per_sec)",
+        "value": spatial_sec,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / spatial_sec, 1),
+        "extract_docs_per_sec": round(n_docs / times["extract"], 1),
+        "cpus": cpus,
+        "scale": scale,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -154,8 +154,11 @@ def make_record(doc_id: int) -> dict:
     rec["attributes"] = [
         {
             "label": f"Attr {i * 2 + k}",
-            # ISO has no inline alias location in our corpus: defaults to label
-            "aliases": "" if std == "iso" else f"Alias {i * 2 + k}",
+            # ISO inline aliases equal the label (the parse-time default would
+            # materialize them anyway, iso:351-353 — keeping them explicit makes
+            # extract->serialize byte-stable; the default RULE is exercised by
+            # the catalog path, whose attrs carry empty aliases)
+            "aliases": f"Attr {i * 2 + k}" if std == "iso" else f"Alias {i * 2 + k}",
             "definition": f"Definition {i * 2 + k}",
             "definition_source": f"Source {(i + k) % 13}",
         }

@@ -162,8 +162,8 @@ def knn_points(
     points: DataFrame,
     extents: DataFrame,
     k: int = 5,
-    level: int = DEFAULT_LEVEL,
-    ring: int = 2,
+    level: int = 6,
+    ring: int = 1,
 ) -> DataFrame:
     """k nearest doc-extent centroids per query point.
 
@@ -185,55 +185,65 @@ def knn_points(
     )
     cent_idx = cents.withColumn("cell", point_cell_expr(F.col("cx"), F.col("cy"), level))
 
-    px = cell_ix_expr(F.col("lon"), level)
-    py = cell_iy_expr(F.col("lat"), level)
-    offsets = list(range(-ring, ring + 1))
-    neighbor_cells = F.array_distinct(
-        F.array(*[
-            cell_id_expr(
-                level,
-                F.greatest(F.lit(0), F.least(F.lit(n - 1), px + F.lit(dx))),
-                F.greatest(F.lit(0), F.least(F.lit(n - 1), py + F.lit(dy))),
-            )
-            for dx in offsets
-            for dy in offsets
-        ])
-    )
-    probes = points.select(
-        "point_id", "lon", "lat", F.explode(neighbor_cells).alias("cell")
-    )
-
     dist = (F.col("lon") - F.col("cx")) ** 2 + (F.col("lat") - F.col("cy")) ** 2
     w = Window.partitionBy("point_id").orderBy(F.col("dist_sq").asc(), F.col("doc_id").asc())
-    cand = (
-        probes.join(cent_idx, on="cell")
-        .select("point_id", "lon", "lat", "doc_id", dist.alias("dist_sq"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    out_cols = ("point_id", "rank", "doc_id", "dist_sq")
 
-    # completeness bound: any centroid outside the probed neighborhood is at
-    # least ring * (180 / 2^level) degrees away in some axis
-    bound_sq = (ring * 180.0 / n) ** 2
-    stats = cand.groupBy("point_id").agg(
-        F.count("*").alias("cnt"), F.max("dist_sq").alias("kth_sq")
-    )
-    complete_ids = stats.filter((F.col("cnt") >= k) & (F.col("kth_sq") <= F.lit(bound_sq)))
-    complete = cand.join(complete_ids.select("point_id"), on="point_id", how="leftsemi")
+    def ranked_for(pts: DataFrame, r: int) -> DataFrame:
+        px = cell_ix_expr(F.col("lon"), level)
+        py = cell_iy_expr(F.col("lat"), level)
+        offsets = list(range(-r, r + 1))
+        neighbor_cells = F.array_distinct(
+            F.array(*[
+                cell_id_expr(
+                    level,
+                    F.greatest(F.lit(0), F.least(F.lit(n - 1), px + F.lit(dx))),
+                    F.greatest(F.lit(0), F.least(F.lit(n - 1), py + F.lit(dy))),
+                )
+                for dx in offsets
+                for dy in offsets
+            ])
+        )
+        probes = pts.select("point_id", "lon", "lat", F.explode(neighbor_cells).alias("cell"))
+        return (
+            probes.join(cent_idx, on="cell")
+            .select("point_id", "lon", "lat", "doc_id", dist.alias("dist_sq"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
 
-    incomplete_pts = points.join(
-        complete_ids.select("point_id"), on="point_id", how="left_anti"
-    )
+    # Escalating rounds: most points complete at the tight ring; stragglers
+    # (sparse neighborhoods, lat-clamp edges) re-probe with a 4x ring before
+    # the exact broadcast fallback — the fallback population shrinks
+    # geometrically, so the cross join only ever sees a residue.
+    results: list[DataFrame] = []
+    remaining = points
+    for r in (ring, ring * 4):
+        # persisted: feeds the result slice, the completeness stats, and the
+        # next round's anti-join (tiny: <= k rows per point)
+        cand = ranked_for(remaining, r).persist()
+        bound_sq = (r * 180.0 / n) ** 2
+        complete_ids = (
+            cand.groupBy("point_id")
+            .agg(F.count("*").alias("cnt"), F.max("dist_sq").alias("kth_sq"))
+            .filter((F.col("cnt") >= k) & (F.col("kth_sq") <= F.lit(bound_sq)))
+            .select("point_id")
+        )
+        results.append(cand.join(complete_ids, "point_id", "leftsemi").select(*out_cols))
+        remaining = remaining.join(complete_ids, "point_id", "left_anti")
+
     fallback = (
-        incomplete_pts.crossJoin(cents)
+        remaining.crossJoin(cents)
         .select("point_id", "lon", "lat", "doc_id", dist.alias("dist_sq"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .select(*out_cols)
     )
 
-    return complete.select("point_id", "rank", "doc_id", "dist_sq").unionByName(
-        fallback.select("point_id", "rank", "doc_id", "dist_sq")
-    )
+    out = results[0]
+    for part in results[1:] + [fallback]:
+        out = out.unionByName(part)
+    return out
 
 
 def tile_extent_join(

@@ -182,6 +182,18 @@ SELECT did AS doc_id,
        printf('%d', i%100) AS processing_fees
 FROM ext"""
 
+    o["convert_to_iso"] = f"""
+WITH {EXT}
+SELECT did AS doc_id, 'iso' AS standard,
+       printf('Dataset %d', i) AS title,
+       printf('%.1f', wh/2.0) AS west,
+       printf('Place %d|Region %d', i%7, i%5) AS place
+FROM ext"""
+
+    o["validate_quarantine"] = """
+SELECT printf('doc-%08d', doc_id) AS doc_id, '' AS property, '' AS rule
+FROM documents WHERE 1=0"""
+
     ix0, ix1 = _IX.format(v="wh"), _IX.format(v="eh")
     iy0, iy1 = _IY.format(v="sh"), _IY.format(v="nh")
     o["spatial_tile_cover"] = f"""

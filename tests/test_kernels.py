@@ -1,0 +1,239 @@
+"""Kernel-level golden tests (no Spark): extraction semantics vs the
+reference's behavioral contract (SURVEY.md §5 categories 1, 2, 3, 5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from gmx.extract import (
+    detect_standard,
+    empty_record,
+    extract_catalog_attributes,
+    extract_record,
+)
+from gmx.serialize import serialize, serialize_catalog, serialize_sections
+
+GOLDEN = None
+
+
+def golden_record() -> dict:
+    rec = empty_record()
+    rec.update({
+        "title": "Golden Dataset", "abstract": "An abstract", "purpose": "A purpose",
+        "supplementary_info": "Supp", "other_citation_info": "Other cit",
+        "online_linkages": "https://example.org/ds", "originators": "Org X",
+        "publish_date": "2020-01-15", "data_credits": "Credits",
+        "dist_contact_org": "Dist Org", "dist_contact_person": "Dist Person",
+        "dist_email": "d@example.org", "dist_phone": "555-0000",
+        "dist_address": "1 Main", "dist_address_type": "mailing",
+        "dist_city": "Springfield", "dist_state": "OR", "dist_postal": "97000",
+        "dist_country": "USA", "dist_liability": "None", "processing_fees": "5",
+        "processing_instrs": "Order", "resource_desc": "Download",
+        "tech_prerequisites": "GIS", "attribute_accuracy": "Accurate",
+        "dataset_completeness": "Complete", "use_constraints": "None",
+        "place_keywords": ["Springfield", "Oregon"],
+        "stratum_keywords": ["surface"], "temporal_keywords": ["2020"],
+        "thematic_keywords": ["hydrology", "rivers"],
+        "bounding_box": {"east": "179.5", "south": "-86.5", "west": "-179.5", "north": "87.5"},
+        "dates": {"type": "multiple", "values": ["2001-01-01", "2002-02-02", "2003-03-03"]},
+        "larger_works": {
+            "title": "LW", "edition": "2", "origin": ["A", "B"],
+            "online_linkage": "http://lw", "other_citation": "oc",
+            "publish_date": "1999-09-09", "publish_place": "Portland",
+            "publish_info": "Pub",
+        },
+        "raster_info": {
+            "dimensions": "2", "row_count": "100", "column_count": "200",
+            "vertical_count": "", "x_resolution": "12.5 meters",
+            "y_resolution": "10.5 meters",
+        },
+        "attributes": [
+            {"label": "a1", "aliases": "al1", "definition": "d1", "definition_source": "s1"},
+            {"label": "a2", "aliases": "al2", "definition": "d2", "definition_source": "s2"},
+        ],
+        "contacts": [
+            {"name": "N1", "email": "e1@x", "organization": "O1", "position": "P1"},
+            {"name": "N2", "email": "e2@x", "organization": "O2", "position": "P2"},
+        ],
+        "digital_forms": [{
+            "name": "SHP", "content": "Vector", "decompression": "zip",
+            "version": "1.0", "specification": "Spec A", "access_desc": "dl",
+            "access_instrs": "click", "network_resource": "http://dl/1",
+        }],
+        "process_steps": [
+            {"description": "step1", "date": "2000-01-01", "sources": ["s1", "s2"]},
+        ],
+    })
+    return rec
+
+
+@pytest.mark.parametrize("standard", ["fgdc", "iso", "arcgis"])
+def test_round_trip_full_record(standard):
+    """serialize -> extract reproduces every property (§5.2 round-trip)."""
+
+    rec = golden_record()
+    out = extract_record(serialize(rec, standard))
+    assert out["standard"] == standard
+    for key, want in rec.items():
+        assert out[key] == want, f"{standard}.{key}: {want!r} != {out[key]!r}"
+
+
+def test_cross_standard_conversion_equality():
+    """Extract once, serialize into each dialect, extract again — all equal
+    (§5.3; convert_parser_to, metadata_parser.py:25-43)."""
+
+    base = extract_record(serialize(golden_record(), "fgdc"))
+    payload = {k: v for k, v in base.items() if k not in ("standard", "error", "attr_catalog_url")}
+    for std in ("iso", "arcgis"):
+        again = extract_record(serialize(payload, std))
+        for key, want in payload.items():
+            assert again[key] == want, f"{std}.{key}"
+
+
+def test_dispatch_rules():
+    assert detect_standard("MD_Metadata", set()) == "iso"
+    assert detect_standard("MI_Metadata", set()) == "iso"
+    assert detect_standard("metadata", {"idinfo"}) == "fgdc"
+    assert detect_standard("metadata", {"dataIdInfo"}) == "arcgis"
+    assert detect_standard("Metadata", {"Esri"}) == "arcgis"
+    assert detect_standard("FC_FeatureCatalogue", set()) == "iso19110"
+    assert detect_standard("rss", set()) == ""
+
+
+def test_bad_content_routed_not_raised():
+    assert extract_record("")["error"] == "no content"
+    assert "invalid XML" in extract_record("<a><b></a")["error"]
+    assert extract_record("<rss/>")["error"].startswith("invalid root")
+
+
+def test_dates_cascade_fgdc():
+    """§5.5 tree-surgery: priority single > multiple > range; counts decide
+    type (parse_dates, utils.py:296-329)."""
+
+    def dates_of(body):
+        return extract_record(
+            f"<metadata><idinfo><timeperd><timeinfo>{body}</timeinfo></timeperd></idinfo></metadata>"
+        )["dates"]
+
+    assert dates_of("<sngdate><caldate>2001</caldate></sngdate>") == {
+        "type": "single", "values": ["2001"]}
+    assert dates_of(
+        "<mdattim><sngdate><caldate>a</caldate></sngdate>"
+        "<sngdate><caldate>b</caldate></sngdate></mdattim>"
+    ) == {"type": "multiple", "values": ["a", "b"]}
+    assert dates_of("<rngdates><begdate>a</begdate><enddate>b</enddate></rngdates>") == {
+        "type": "range", "values": ["a", "b"]}
+    # utility_metadata.xml case: 2 begdates + 2 enddates -> multiple of 4
+    assert dates_of(
+        "<rngdates><begdate>a</begdate><begdate>b</begdate>"
+        "<enddate>c</enddate><enddate>d</enddate></rngdates>"
+    ) == {"type": "multiple", "values": ["a", "b", "c", "d"]}
+    # single stored under mdattim -> single (one value at multiple path)
+    assert dates_of("<mdattim><sngdate><caldate>x</caldate></sngdate></mdattim>") == {
+        "type": "single", "values": ["x"]}
+    assert dates_of("") is None
+
+
+def test_contact_org_fallback_fgdc():
+    """§5.5: person/org read from cntorgp when cntperp missing
+    (fgdc_metadata_parser.py:142-147)."""
+
+    xml = (
+        "<metadata><idinfo><ptcontac><cntinfo>"
+        "<cntorgp><cntper>Jane</cntper><cntorg>Acme</cntorg></cntorgp>"
+        "<cntpos>Boss</cntpos><cntemail>j@a.co</cntemail>"
+        "</cntinfo></ptcontac></idinfo></metadata>"
+    )
+    assert extract_record(xml)["contacts"] == [
+        {"name": "Jane", "email": "j@a.co", "organization": "Acme", "position": "Boss"}
+    ]
+
+
+def test_arcgis_date_attribute_fallback():
+    """ArcGIS @date attribute locations (arcgis_metadata_parser.py:158-166)."""
+
+    xml = (
+        "<metadata><dataIdInfo><dataExt><tempEle><TempExtent><exTemp>"
+        '<TM_Instant><tmPosition date="2005-05-05"/></TM_Instant>'
+        "</exTemp></TempExtent></tempEle></dataExt></dataIdInfo></metadata>"
+    )
+    assert extract_record(xml)["dates"] == {"type": "single", "values": ["2005-05-05"]}
+
+
+def test_arcgis_report_item_filter():
+    """Shared dqInfo/report path split on the type attribute
+    (arcgis_metadata_parser.py:279-294)."""
+
+    xml = (
+        "<metadata><dataIdInfo/><dqInfo>"
+        '<report type="DQQuanAttAcc"><measDesc>acc</measDesc></report>'
+        '<report type="DQCompOm"><measDesc>comp</measDesc></report>'
+        "</dqInfo></metadata>"
+    )
+    rec = extract_record(xml)
+    assert rec["attribute_accuracy"] == "acc"
+    assert rec["dataset_completeness"] == "comp"
+
+
+def test_iso_sentinel_content_split():
+    """Digital-form content appended after sentinel splits back
+    (iso_metadata_parser.py:41, 396-421)."""
+
+    rec = empty_record()
+    rec["title"] = "t"
+    rec["digital_forms"] = [{
+        "name": "SHP", "content": "C1\nC2", "decompression": "", "version": "9",
+        "specification": "S1\nS2", "access_desc": "ad", "access_instrs": "ai",
+        "network_resource": "nr",
+    }]
+    out = extract_record(serialize(rec, "iso"))
+    assert out["digital_forms"] == rec["digital_forms"]
+
+
+def test_iso_catalog_remote_wins_and_aliases_default():
+    cat = serialize_catalog(
+        [{"label": "cl", "aliases": "", "definition": "cd", "definition_source": "cs"}]
+    )
+    assert extract_catalog_attributes(cat) == [
+        {"label": "cl", "aliases": "", "definition": "cd", "definition_source": "cs"}
+    ]
+    rec = empty_record()
+    rec["title"] = "t"
+    rec["attr_catalog_url"] = "catalog://1"
+    rec["attributes"] = [
+        {"label": "il", "aliases": "", "definition": "id", "definition_source": "is"}
+    ]
+    xml = serialize(rec, "iso")
+    hit = extract_record(xml, catalog_lookup={"catalog://1": cat}.get)
+    assert hit["attributes"] == [
+        {"label": "cl", "aliases": "cl", "definition": "cd", "definition_source": "cs"}
+    ]
+    miss = extract_record(xml, catalog_lookup={}.get)
+    assert miss["attributes"] == [
+        {"label": "il", "aliases": "il", "definition": "id", "definition_source": "is"}
+    ]
+
+
+def test_multivalue_scalar_newline_normalization():
+    """'\\n' join of repeated elements and re-split on write (utils.py:226-270)."""
+
+    rec = empty_record()
+    rec["title"] = "t"
+    rec["originators"] = "Org A\nOrg B"
+    for std in ("fgdc", "iso", "arcgis"):
+        assert extract_record(serialize(rec, std))["originators"] == "Org A\nOrg B"
+
+
+def test_fgdc_raster_resolution_fallback():
+    """planar absres primary; geograph longres secondary (fgdc:198-211)."""
+
+    xml = (
+        "<metadata><idinfo/><spdoinfo><rastinfo><rasttype>Grid</rasttype>"
+        "<rowcount>10</rowcount><colcount>20</colcount></rastinfo></spdoinfo>"
+        "<spref><horizsys><geograph><longres>0.1</longres><latres>0.2</latres>"
+        "</geograph></horizsys></spref></metadata>"
+    )
+    info = extract_record(xml)["raster_info"]
+    assert info["x_resolution"] == "0.1"
+    assert info["y_resolution"] == "0.2"
+    assert info["row_count"] == "10"

@@ -1,0 +1,51 @@
+"""Spark-side end-to-end tests: pipeline extraction vs golden records and the
+expression-dispatch twin (SURVEY.md §5 category 1 at DataFrame level)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gmx import pipeline as P
+from gmx.corpus import catalog_attributes, catalog_kind, make_record
+from gmx.extract import finish_attributes
+
+
+def golden_for(i: int) -> dict:
+    want = make_record(i)
+    kind = catalog_kind(i)
+    if kind == "ok":
+        want["attributes"] = finish_attributes([], catalog_attributes(i))
+    elif i % 3 == 1:  # iso: aliases default applied post-join
+        want["attributes"] = finish_attributes(want["attributes"], None)
+    return want
+
+
+def test_pipeline_matches_golden_records(metadata):
+    sample = ["doc-%08d" % i for i in (0, 1, 2, 5, 10, 25, 75, 97, 100, 121)]
+    rows = {
+        r["doc_id"]: r.asDict(recursive=True)
+        for r in metadata.filter(F.col("doc_id").isin(sample)).collect()
+    }
+    assert len(rows) == len(sample)
+    for did, row in rows.items():
+        want = golden_for(int(did.split("-")[1]))
+        for key, val in want.items():
+            assert row.get(key) == val, f"{did}.{key}: {val!r} != {row.get(key)!r}"
+
+
+def test_expression_dispatch_matches_kernel(spark, sf_dir):
+    docs = P.with_document_text(P.corpus_df(spark, sf_dir))
+    expr = P.with_standard(docs).select("doc_id", "standard")
+    kern = P.extract_wide(docs).select("doc_id", F.col("standard").alias("k"))
+    assert expr.join(kern, "doc_id").filter("standard != k").count() == 0
+
+
+def test_standard_distribution(metadata):
+    counts = {r["standard"]: r["n"] for r in
+              metadata.groupBy("standard").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"fgdc", "iso", "arcgis"}
+    assert sum(counts.values()) == 500
+
+
+def test_no_extraction_errors(metadata):
+    assert metadata.filter(F.col("error") != "").count() == 0

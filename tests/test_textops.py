@@ -1,0 +1,71 @@
+"""Training-data operators vs single-node numpy/python oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gmx.textops import cosine_topk, exact_dup_groups, ngram_jaccard_pairs, token_counts
+from gmx.textops.similarity import QUANT
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d.cache().count()
+    return d
+
+
+def test_token_counts(docs):
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    got = {r.doc_id: r.n_tokens for r in token_counts(docs).collect()}
+    assert got == {i: len(t.split(" ")) for i, t in rows.items()}
+
+
+def test_exact_dup_groups_cover_all_docs(docs):
+    total = docs.count()
+    groups = exact_dup_groups(docs).collect()
+    assert sum(g.n_docs for g in groups) == total
+
+
+def test_ngram_jaccard_matches_python_oracle(docs):
+    texts = {r.doc_id: r.text.split(" ") for r in docs.collect()}
+    sh = {
+        i: set(" ".join(w[j:j + 3]) for j in range(len(w) - 2)) if len(w) >= 3 else {" ".join(w)}
+        for i, w in texts.items()
+    }
+    ids = sorted(sh)
+    want = set()
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(sh[a] & sh[b])
+            if not inter:
+                continue
+            jac = inter * 1000 // (len(sh[a]) + len(sh[b]) - inter)
+            if jac >= 100:
+                want.add((a, b, jac))
+    got = {(r.a_id, r.b_id, r.jaccard_per_mille)
+           for r in ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    assert got == want
+
+
+def test_cosine_topk_matches_numpy(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.collect()
+    vecs = {r.vec_id: np.floor(np.asarray(r.embedding, dtype=np.float64) * QUANT + 0.5)
+            for r in rows}
+    want = set()
+    for qid, qv in vecs.items():
+        if qid % 100 != 0:
+            continue
+        scored = sorted(
+            (
+                (-float(qv @ nv) / np.sqrt(float(qv @ qv) * float(nv @ nv)), nid)
+                for nid, nv in vecs.items()
+                if nid != qid
+            ),
+        )[:5]
+        want.update((qid, r + 1, nid) for r, (_, nid) in enumerate(scored))
+    got = {(r.query_id, r.rank, r.neighbor_id) for r in cosine_topk(emb).collect()}
+    assert got == want

@@ -1,0 +1,92 @@
+"""Scaling-efficiency evidence for the north rule.
+
+Runs bench.py at two parallelism levels (default local[8] vs local[32] — the
+sandbox stand-in for N vs 4N executors on identical input) and writes
+BENCH/BASELINE.md with throughput at each level and the scaling efficiency
+  eff = (thr_4N / thr_N) / 4.
+
+Usage: python tools/run_scaling.py [low_cpus high_cpus]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import date
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_bench(cpus: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env, capture_output=True, text=True, check=True,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    low = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    high = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    factor = high / low
+
+    r_low = run_bench(low)
+    r_high = run_bench(high)
+
+    thr_low = r_low["docs"] / r_low["value"]
+    thr_high = r_high["docs"] / r_high["value"]
+    eff = (thr_high / thr_low) / factor
+    ex_low = r_low["docs"] / r_low["queries"]["extract"]
+    ex_high = r_high["docs"] / r_high["queries"]["extract"]
+    ex_eff = (ex_high / ex_low) / factor
+
+    rows = "\n".join(
+        f"| {q} | {r_low['queries'][q]:.1f} | {r_high['queries'][q]:.1f} |"
+        for q in r_low["queries"]
+    )
+    md = f"""# BENCH/BASELINE — measured throughput + scaling efficiency
+
+Generated {date.today()} by `tools/run_scaling.py` (same input, same code,
+two parallelism levels — the sandbox evidence for the north rule's N vs 4N
+executor scaling gate; no real cluster is available here).
+
+Input: `{os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")}`,
+corpus scale x{r_low.get("scale")} = {r_low["docs"]} documents
+(span synthesis -> reassembly -> dispatch -> Arrow extraction -> catalog
+join -> cell index -> spatial joins -> dedup -> ANN).
+
+| metric | local[{low}] (N) | local[{high}] ({factor:.0f}N) |
+|---|---|---|
+| pipeline wall time (s) | {r_low["value"]:.1f} | {r_high["value"]:.1f} |
+| pipeline throughput (docs/s) | {thr_low:.0f} | {thr_high:.0f} |
+| extraction throughput (docs/s) | {ex_low:.0f} | {ex_high:.0f} |
+
+**Scaling efficiency (pipeline): {eff:.2f}** — gate: >= 0.8 at 4x cores.
+**Scaling efficiency (extraction stage): {ex_eff:.2f}**
+
+Per-query wall seconds:
+
+| query | local[{low}] | local[{high}] |
+|---|---|---|
+{rows}
+
+Caveats: single-JVM local mode shares one driver and page cache, so the 4x
+core step under-rewards shuffle-heavy stages relative to a real 4x-executor
+cluster; per-run JIT/Python-worker warm-up is included in both columns
+(same bias both sides).
+"""
+    (REPO / "BENCH" / "BASELINE.md").write_text(md)
+    print(json.dumps({
+        "low_cpus": low, "high_cpus": high,
+        "thr_low": round(thr_low, 1), "thr_high": round(thr_high, 1),
+        "efficiency": round(eff, 3), "extract_efficiency": round(ex_eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
