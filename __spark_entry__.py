@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_distribution_fields": Q.extract_distribution_fields,
         "convert_to_iso": Q.convert_to_iso,
         "validate_quarantine": Q.validate_quarantine,
+        "media_refs_extract": Q.media_refs_extract,
         # spatial layer (north rule)
         "spatial_tile_cover": Q.spatial_tile_cover,
         "spatial_bbox_overlap_join": Q.spatial_bbox_overlap_join,
@@ -66,10 +67,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": Q.text_lang_id,
         "dedup_ngram_jaccard": Q.dedup_ngram_jaccard,
         "ann_cosine_topk": Q.ann_cosine_topk,
-        # rows-only (hash functions not reproducible in the oracle engine)
+        # rows-only (hash/codec outputs not reproducible in the oracle engine)
         "text_fingerprint": Q.text_fingerprint,
         "dedup_minhash_lsh": Q.dedup_minhash_lsh,
         "dedup_simhash": Q.dedup_simhash,
+        "media_decode_stub": Q.media_decode_stub,
     }
 
 

@@ -182,6 +182,23 @@ SELECT did AS doc_id,
        printf('%d', i%100) AS processing_fees
 FROM ext"""
 
+    o["media_refs_extract"] = f"""
+WITH {EXT}
+SELECT did AS doc_id,
+       printf('tile://4/%d/%d',
+              least((wh+eh+720)*16//1440, 15),
+              least((sh+nh+360)*16//720, 15)) AS media_ref
+FROM ext WHERE i%5=1
+UNION ALL
+SELECT did, printf('catalog://%d', i) FROM ext
+WHERE standard='iso' AND i%25<>0 AND i%5=0
+UNION ALL
+SELECT printf('cat-%08d', i), printf('catalog://%d', i) FROM ext
+WHERE standard='iso' AND i%25<>0 AND i%5=0
+UNION ALL
+SELECT did, printf('catalog://missing/%d', i) FROM ext
+WHERE standard='iso' AND i%25=0"""
+
     o["convert_to_iso"] = f"""
 WITH {EXT}
 SELECT did AS doc_id, 'iso' AS standard,

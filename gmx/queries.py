@@ -190,6 +190,36 @@ def extract_distribution_fields(spark, sf_dir):
     )
 
 
+def media_refs_extract(spark, sf_dir):
+    """Media-span surface: every (doc, media_ref) pair in the corpus —
+    raster tiles on raster docs, catalog URLs on ISO docs and their sibling
+    catalog rows."""
+    from gmx import pipeline
+
+    corpus = pipeline.corpus_df(spark, sf_dir)
+    return corpus.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.filter("spans", lambda s: s["kind"] == F.lit("media")),
+                lambda s: s["media_ref"],
+            )
+        ).alias("media_ref"),
+    )
+
+
+def media_decode_stub(spark, sf_dir):
+    """Image-decode plumbing over binary payloads (codec stubbed; the
+    dataflow — fetch, binary column, Arrow batch decode — is real)."""
+    from gmx import pipeline
+    from gmx.media import decode_images, media_table
+
+    media = media_table(pipeline.corpus_df(spark, sf_dir))
+    return decode_images(media).select(
+        "doc_id", "media_ref", "width", "height", "mean_luma", "decoder"
+    )
+
+
 def convert_to_iso(spark, sf_dir):
     """Q1 cross-standard conversion: re-emit every record as ISO-19139 and
     re-extract — values must survive the dialect change."""
