@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_bbox": Q.extract_bbox,
         "extract_dates": Q.extract_dates,
         "extract_keywords": Q.extract_keywords,
+        "extract_arcgis_keywords": Q.extract_arcgis_keywords,
         "extract_contacts": Q.extract_contacts,
         "extract_attributes": Q.extract_attributes,
         "extract_digital_forms": Q.extract_digital_forms,

@@ -123,6 +123,14 @@ def make_record(doc_id: int) -> dict:
         "stratum_keywords": [f"Stratum {i % 4}"] if i % 2 == 0 else [],
         "temporal_keywords": [f"Temporal {i % 6}"],
     })
+    if std == "arcgis":
+        rec.update({
+            "discipline_keywords": [f"Discipline {i % 4}"],
+            "other_keywords": [],
+            "product_keywords": [f"Product {i % 6}"],
+            "search_keywords": [f"Search {i % 9}", f"Search {i % 3}"],
+            "topic_category_keywords": [f"Topic {i % 5}"],
+        })
 
     w, s, e, n = bbox_halfdeg(i)
     rec["bounding_box"] = {

@@ -268,6 +268,10 @@ def empty_record() -> dict:
     rec.update({
         "place_keywords": [], "stratum_keywords": [], "temporal_keywords": [],
         "thematic_keywords": [],
+        # ArcGIS-only keyword kinds (arcgis_metadata_parser.py:93-98);
+        # empty lists for the other standards
+        "discipline_keywords": [], "other_keywords": [], "product_keywords": [],
+        "search_keywords": [], "topic_category_keywords": [],
         "bounding_box": None, "dates": None, "larger_works": None,
         "raster_info": None,
         "attributes": [], "contacts": [], "digital_forms": [], "process_steps": [],
@@ -310,6 +314,8 @@ def extract_record(xml_text: str, catalog_lookup=None) -> dict:
             rec[prop] = _split_multi(xmlkit.resolve_chain(tree, chain))
     if spec.keyword_groups:
         rec.update(_parse_keyword_groups(tree, spec))
+    for prop, chain in (spec.extra_keywords or {}).items():
+        rec[prop] = _split_multi(xmlkit.resolve_chain(tree, chain))
 
     for prop, cspec in spec.complexes.items():
         if prop == "digital_forms":

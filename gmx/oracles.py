@@ -100,6 +100,15 @@ SELECT did AS doc_id,
        printf('Temporal %d', i%6) AS temporal
 FROM ext"""
 
+    o["extract_arcgis_keywords"] = f"""
+WITH {EXT}
+SELECT did AS doc_id,
+       printf('Discipline %d', i%4) AS disciplines,
+       printf('Product %d', i%6) AS products,
+       printf('Search %d|Search %d', i%9, i%3) AS searches,
+       printf('Topic %d', i%5) AS topics
+FROM ext WHERE standard='arcgis'"""
+
     o["extract_contacts"] = f"""
 WITH {EXT}
 SELECT did AS doc_id,

@@ -114,6 +114,18 @@ def extract_keywords(spark, sf_dir):
     )
 
 
+def extract_arcgis_keywords(spark, sf_dir):
+    """ArcGIS-only keyword kinds (arcgis_metadata_parser.py:93-98)."""
+    m = cached_metadata(spark, sf_dir)
+    return m.filter(F.col("standard") == "arcgis").select(
+        "doc_id",
+        _join("discipline_keywords").alias("disciplines"),
+        _join("product_keywords").alias("products"),
+        _join("search_keywords").alias("searches"),
+        _join("topic_category_keywords").alias("topics"),
+    )
+
+
 def extract_contacts(spark, sf_dir):
     """C2 complex-list extraction with per-standard fallback locations."""
     m = cached_metadata(spark, sf_dir)

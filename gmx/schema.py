@@ -38,6 +38,13 @@ METADATA_SCHEMA = T.StructType(
     + [T.StructField(p, T.StringType()) for p in SIMPLE_PROPS]
     + [T.StructField(p, T.ArrayType(T.StringType())) for p in KEYWORD_PROPS]
     + [
+        T.StructField(p, T.ArrayType(T.StringType()))
+        for p in (
+            "discipline_keywords", "other_keywords", "product_keywords",
+            "search_keywords", "topic_category_keywords",
+        )
+    ]
+    + [
         T.StructField("bounding_box", _str_struct(COMPLEX_FIELDS["bounding_box"])),
         T.StructField("dates", T.StructType([
             T.StructField("type", T.StringType()),

@@ -11,8 +11,10 @@ def test_oracle_keys_subset_of_queries():
     osql = entry.oracle_sql()
     assert set(osql) <= qs
     missing = qs - set(osql)
-    # only hash-based ops may lack an oracle
-    assert missing <= {"text_fingerprint", "dedup_minhash_lsh", "dedup_simhash"}
+    # only hash/codec-based ops may lack an oracle
+    assert missing <= {
+        "text_fingerprint", "dedup_minhash_lsh", "dedup_simhash", "media_decode_stub",
+    }
 
 
 def test_oracle_sql_is_runnable_duckdb(sf_dir):

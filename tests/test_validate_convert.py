@@ -62,6 +62,14 @@ def test_conversion_round_trip_equality(metadata, target):
     b = {r["doc_id"]: r.asDict(recursive=True) for r in conv.collect()}
     assert set(a) == set(b)
     skip = {"standard", "error", "media_refs", "attr_catalog_url"}
+    if target != "arcgis":
+        # ArcGIS-only keyword kinds are outside the 39-prop contract and have
+        # no location in the other dialects (like the reference, which copies
+        # SUPPORTED_PROPS only — metadata_parser.py:25-43)
+        skip |= {
+            "discipline_keywords", "other_keywords", "product_keywords",
+            "search_keywords", "topic_category_keywords",
+        }
     for did in a:
         assert b[did]["standard"] == target
         for key, want in a[did].items():
