@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convert_to_iso": Q.convert_to_iso,
         "validate_quarantine": Q.validate_quarantine,
         "media_refs_extract": Q.media_refs_extract,
+        "events_windowed_counts": Q.events_windowed_counts,
+        "events_sessionize": Q.events_sessionize,
         # spatial layer (north rule)
         "spatial_tile_cover": Q.spatial_tile_cover,
         "spatial_bbox_overlap_join": Q.spatial_bbox_overlap_join,
@@ -68,11 +70,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": Q.text_lang_id,
         "dedup_ngram_jaccard": Q.dedup_ngram_jaccard,
         "ann_cosine_topk": Q.ann_cosine_topk,
+        "dedup_embedding_cosine": Q.dedup_embedding_cosine,
         # rows-only (hash/codec outputs not reproducible in the oracle engine)
         "text_fingerprint": Q.text_fingerprint,
         "dedup_minhash_lsh": Q.dedup_minhash_lsh,
         "dedup_simhash": Q.dedup_simhash,
         "media_decode_stub": Q.media_decode_stub,
+        "ann_lsh_topk": Q.ann_lsh_topk,
     }
 
 

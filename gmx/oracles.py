@@ -191,6 +191,27 @@ SELECT did AS doc_id,
        printf('%d', i%100) AS processing_fees
 FROM ext"""
 
+    o["events_windowed_counts"] = """
+SELECT (epoch_us(ts)//300000000)*300000000 AS window_start_us,
+       event_type, count(*) AS n,
+       min(event_id) AS min_event_id, max(event_id) AS max_event_id
+FROM events GROUP BY 1, 2"""
+
+    o["events_sessionize"] = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+m AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+s AS (
+  SELECT user_id, ts_us,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM m)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(ts_us) AS start_us, max(ts_us) AS end_us
+FROM s GROUP BY 1, 2"""
+
     o["media_refs_extract"] = f"""
 WITH {EXT}
 SELECT did AS doc_id,
@@ -319,6 +340,21 @@ pairs AS (
   GROUP BY 1, 2, 3, 4)
 SELECT a_id, b_id, CAST(inter*1000 // (na+nb-inter) AS BIGINT) AS jaccard_per_mille
 FROM pairs WHERE inter*1000 // (na+nb-inter) >= 100"""
+
+    o["dedup_embedding_cosine"] = """
+WITH q AS (
+  SELECT vec_id,
+         [CAST(floor(CAST(embedding[i] AS DOUBLE)*1000 + 0.5) AS BIGINT)
+          for i in range(1, len(embedding)+1)] AS v
+  FROM embeddings),
+n AS (SELECT vec_id, v, CAST(list_sum([x*x for x in v]) AS BIGINT) AS nrm FROM q),
+p AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         CAST(list_sum([a.v[i]*b.v[i] for i in range(1, len(a.v)+1)]) AS BIGINT) AS dot,
+         a.nrm AS na, b.nrm AS nb
+  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+SELECT a_id, b_id FROM p
+WHERE dot > 0 AND 10000*dot*dot >= 1225*na*nb"""
 
     o["ann_cosine_topk"] = """
 WITH q AS (

@@ -202,6 +202,22 @@ def extract_distribution_fields(spark, sf_dir):
     )
 
 
+def events_windowed_counts(spark, sf_dir):
+    """Tumbling-window aggregation over the events table (streaming twin with
+    watermark lives in gmx.events.stream_windowed_event_counts)."""
+    from gmx.events import windowed_event_counts
+
+    return windowed_event_counts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (window functions; stateful streaming twin in
+    gmx.events.sessionize_stateful)."""
+    from gmx.events import sessionize
+
+    return sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def media_refs_extract(spark, sf_dir):
     """Media-span surface: every (doc, media_ref) pair in the corpus —
     raster tiles on raster docs, catalog URLs on ISO docs and their sibling
@@ -324,3 +340,18 @@ def dedup_simhash(spark, sf_dir):
 
 def ann_cosine_topk(spark, sf_dir):
     return cosine_topk(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=KNN_K)
+
+
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact integer threshold test)."""
+    from gmx.textops.similarity import embedding_near_dup
+
+    return embedding_near_dup(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+def ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k (the scale path; recall vs exact
+    asserted in tests — deterministic planes, rows-only check here)."""
+    from gmx.textops.similarity import ann_lsh_topk as _lsh
+
+    return _lsh(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=KNN_K)

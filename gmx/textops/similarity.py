@@ -69,6 +69,84 @@ def cosine_topk(
     )
 
 
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold_hundredths: int = 35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a_id < b_id, cos >= t).
+
+    The threshold test is pure integer arithmetic on quantized vectors:
+      cos >= t/100  <=>  dot >= 0  AND  100^2 * dot^2 >= t^2 * na * nb
+    so both engines agree exactly.  Baseline is the all-pairs self-join
+    (fine at oracle scale); at corpus scale block with lsh_buckets first —
+    same predicate, candidates restricted to shared buckets."""
+
+    t2 = threshold_hundredths * threshold_hundredths
+    base = embeddings.select(
+        F.col(id_col).alias("vid"), _quantized(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", _dot(F.col("v"), F.col("v")))
+    a = base.select(
+        F.col("vid").alias("a_id"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = base.select(
+        F.col("vid").alias("b_id"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    dot = _dot(F.col("va"), F.col("vb"))
+    pairs = (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (F.lit(10000).cast("long") * F.col("dot") * F.col("dot")
+               >= F.lit(t2).cast("long") * F.col("na") * F.col("nb"))
+        )
+    )
+    return pairs.select("a_id", "b_id")
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    query_mod: int = 100,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket —
+    the scale path that replaces the brute-force broadcast with an equi-join
+    on bucket.  Deterministic (fixed pseudo-random planes); recall vs the
+    exact cosine_topk is asserted in tests."""
+
+    from pyspark.sql import Window
+
+    buckets = lsh_buckets(embeddings, planes=planes, id_col=id_col, vec_col=vec_col)
+    base = embeddings.select(
+        F.col(id_col).alias("nid"), _quantized(F.col(vec_col)).alias("nvec")
+    ).withColumn("nnorm", _dot(F.col("nvec"), F.col("nvec")))
+    base = base.join(buckets.withColumnRenamed("vec_id", "nid"), "nid")
+
+    queries = (
+        base.filter(F.pmod(F.col("nid"), F.lit(query_mod)) == 0)
+        .select(
+            F.col("nid").alias("qid"), F.col("nvec").alias("qvec"),
+            F.col("nnorm").alias("qnorm"), F.col("bucket").alias("qbucket"),
+        )
+    )
+    score = _dot(F.col("qvec"), F.col("nvec")) / F.sqrt(
+        (F.col("qnorm") * F.col("nnorm")).cast("double")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
+    return (
+        base.join(queries, (F.col("bucket") == F.col("qbucket")) & (F.col("qid") != F.col("nid")))
+        .select("qid", "nid", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), "rank", F.col("nid").alias("neighbor_id"))
+    )
+
+
 def lsh_buckets(embeddings: DataFrame, planes: int = 16, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Random-hyperplane LSH signature: bit p = sign(dot(vec, plane_p)) with
     plane components derived from a fixed hash of (p, dim) — reproducible

@@ -13,7 +13,8 @@ def test_oracle_keys_subset_of_queries():
     missing = qs - set(osql)
     # only hash/codec-based ops may lack an oracle
     assert missing <= {
-        "text_fingerprint", "dedup_minhash_lsh", "dedup_simhash", "media_decode_stub",
+        "text_fingerprint", "dedup_minhash_lsh", "dedup_simhash",
+        "media_decode_stub", "ann_lsh_topk",
     }
 
 

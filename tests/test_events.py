@@ -1,0 +1,89 @@
+"""Event-stream operators: windowed aggregation (batch == watermarked
+stream), sessionization (window-function plan == stateful streaming twin ==
+python oracle)."""
+
+from __future__ import annotations
+
+import pytest
+
+from gmx.events import (
+    sessionize,
+    sessionize_stream,
+    stream_windowed_event_counts,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.cache().count()
+    return ev
+
+
+def _session_oracle(rows, gap_us=30 * 60_000_000):
+    by_user: dict[int, list[int]] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.ts_us)
+    out = set()
+    for uid, ts in by_user.items():
+        ts.sort()
+        seq, start, end, n = 0, ts[0], ts[0], 1
+        for t in ts[1:]:
+            if t - end > gap_us:
+                out.add((uid, seq, n, start, end))
+                seq, start, end, n = seq + 1, t, t, 1
+            else:
+                end, n = t, n + 1
+        out.add((uid, seq, n, start, end))
+    return out
+
+
+def test_sessionize_matches_python_oracle(spark, events):
+    from pyspark.sql import functions as F
+
+    raw = events.select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    ).collect()
+    want = _session_oracle(raw)
+    got = {(r.user_id, r.session_seq, r.n_events, r.start_us, r.end_us)
+           for r in sessionize(events).collect()}
+    assert got == want
+
+
+def test_windowed_counts_cover_all_events(events):
+    agg = windowed_event_counts(events)
+    assert agg.groupBy().sum("n").first()[0] == events.count()
+    starts = [r.window_start_us for r in agg.select("window_start_us").collect()]
+    assert all(s % (5 * 60_000_000) == 0 for s in starts)
+
+
+def test_stream_windowed_counts_equal_batch(spark, sf_dir, events, tmp_path):
+    src = str(tmp_path / "ev_src")
+    out = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ckpt")
+    events.write.mode("overwrite").parquet(src)
+    stream_windowed_event_counts(spark, src, out, ckpt, watermark="0 seconds")
+    got = {(r.window_start_us, r.event_type, r.n, r.min_event_id, r.max_event_id)
+           for r in spark.read.parquet(out).collect()}
+    want = {(r.window_start_us, r.event_type, r.n, r.min_event_id, r.max_event_id)
+            for r in windowed_event_counts(events).collect()}
+    # append-mode emits only windows closed by the final watermark: the last
+    # open window stays in state, everything else must match exactly
+    assert got <= want
+    assert len(want) - len(got) <= len(
+        {r.event_type for r in events.select("event_type").distinct().collect()}
+    )
+
+
+def test_stateful_sessionizer_equals_batch(spark, sf_dir, events, tmp_path):
+    src = str(tmp_path / "se_src")
+    out = str(tmp_path / "se_out")
+    ckpt = str(tmp_path / "se_ckpt")
+    events.write.mode("overwrite").parquet(src)
+    sessionize_stream(spark, src, out, ckpt)
+    got = {(r.user_id, r.session_seq, r.n_events, r.start_us, r.end_us)
+           for r in spark.read.parquet(out).collect()}
+    want = {(r.user_id, r.session_seq, r.n_events, r.start_us, r.end_us)
+            for r in sessionize(events).collect()}
+    assert got == want

@@ -69,3 +69,35 @@ def test_cosine_topk_matches_numpy(spark, sf_dir):
         want.update((qid, r + 1, nid) for r, (_, nid) in enumerate(scored))
     got = {(r.query_id, r.rank, r.neighbor_id) for r in cosine_topk(emb).collect()}
     assert got == want
+
+
+def test_embedding_near_dup_matches_numpy(spark, sf_dir):
+    from gmx.textops.similarity import embedding_near_dup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.collect()
+    vecs = {r.vec_id: np.floor(np.asarray(r.embedding, dtype=np.float64) * QUANT + 0.5)
+            for r in rows}
+    ids = sorted(vecs)
+    want = set()
+    for i, a in enumerate(ids):
+        va, na = vecs[a], float(vecs[a] @ vecs[a])
+        for b in ids[i + 1:]:
+            dot = float(va @ vecs[b])
+            if dot > 0 and 10000 * dot * dot >= 1225 * na * float(vecs[b] @ vecs[b]):
+                want.add((a, b))
+    got = {(r.a_id, r.b_id) for r in embedding_near_dup(emb).collect()}
+    assert got == want
+    assert want  # threshold chosen so the result is non-trivial
+
+
+def test_ann_lsh_recall_vs_exact(spark, sf_dir):
+    from gmx.textops.similarity import ann_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in ann_lsh_topk(emb, planes=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    # deterministic planes -> deterministic recall; random vectors at 4 planes
+    # keep ~1/16 of the corpus per bucket, so a loose floor suffices
+    assert recall >= 0.1, recall
