@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_distribution_fields": Q.extract_distribution_fields,
         "convert_to_iso": Q.convert_to_iso,
         "validate_quarantine": Q.validate_quarantine,
+        "spans_roundtrip_violations": Q.spans_roundtrip_violations,
         "media_refs_extract": Q.media_refs_extract,
         "events_windowed_counts": Q.events_windowed_counts,
         "events_sessionize": Q.events_sessionize,

@@ -88,3 +88,37 @@ def convert_df(meta: DataFrame, target_standard: str) -> DataFrame:
     """Q1: re-emit every record in ``target_standard`` and re-extract."""
 
     return reextract_df(serialize_df(meta, target_standard))
+
+
+def respan_df(meta: DataFrame) -> DataFrame:
+    """Wide rows -> span sequences (the parity emission surface): one text
+    span per top-level XML section + zero-length media spans from
+    ``media_refs``, offsets running — the exact span contract the corpus
+    carries, so corpus.spans == respan(extract(corpus)).spans is the
+    engine's end-to-end invariant."""
+
+    from gmx.schema import CORPUS_SCHEMA
+    from gmx.serialize import serialize_sections
+
+    cols = ["doc_id", "standard", "media_refs"] + _REC_FIELDS
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "spans": []}
+            for rec in pdf.to_dict("records"):
+                rec = {k: _to_plain(v) for k, v in rec.items()}
+                # re-emit the document as stored: inline attributes, not the
+                # catalog-resolved view
+                rec["attributes"] = rec.get("attributes_inline") or rec["attributes"]
+                sections = serialize_sections(rec, rec["standard"])
+                spans, offset = [], 0
+                for sec in sections:
+                    spans.append({"kind": "text", "text": sec, "media_ref": "", "offset": offset})
+                    offset += len(sec)
+                for ref in rec.get("media_refs") or []:
+                    spans.append({"kind": "media", "text": "", "media_ref": ref, "offset": offset})
+                out["doc_id"].append(rec["doc_id"])
+                out["spans"].append(spans)
+            yield pd.DataFrame(out)
+
+    return meta.select(*cols).mapInPandas(run, schema=CORPUS_SCHEMA)

@@ -274,7 +274,8 @@ def empty_record() -> dict:
         "search_keywords": [], "topic_category_keywords": [],
         "bounding_box": None, "dates": None, "larger_works": None,
         "raster_info": None,
-        "attributes": [], "contacts": [], "digital_forms": [], "process_steps": [],
+        "attributes": [], "attributes_inline": [], "contacts": [],
+        "digital_forms": [], "process_steps": [],
         "attr_catalog_url": "",
     })
     return rec
@@ -332,6 +333,8 @@ def extract_record(xml_text: str, catalog_lookup=None) -> dict:
         rec["raster_info"] = _parse_raster_pivot(tree, spec)
     if spec.report_items:
         rec.update(_parse_report_items(tree, spec))
+
+    rec["attributes_inline"] = list(rec["attributes"])
 
     if standard == "iso":
         url_vals = xmlkit.resolve_chain(tree, spec.attr_catalog_url)

@@ -237,6 +237,9 @@ SELECT did AS doc_id, 'iso' AS standard,
        printf('Place %d|Region %d', i%7, i%5) AS place
 FROM ext"""
 
+    o["spans_roundtrip_violations"] = """
+SELECT printf('doc-%08d', doc_id) AS doc_id FROM documents WHERE 1=0"""
+
     o["validate_quarantine"] = """
 SELECT printf('doc-%08d', doc_id) AS doc_id, '' AS property, '' AS rule
 FROM documents WHERE 1=0"""

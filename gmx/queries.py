@@ -261,6 +261,20 @@ def convert_to_iso(spark, sf_dir):
     )
 
 
+def spans_roundtrip_violations(spark, sf_dir):
+    """THE end-to-end invariant (BASELINE.json input_hint): for every corpus
+    document, extract -> re-serialize -> re-split must reproduce the original
+    span sequence (kind, text, media_ref, offset, order) exactly.  Returns
+    the violating doc_ids — empty when the engine is correct."""
+    from gmx import pipeline
+    from gmx.convert import respan_df
+
+    corpus = pipeline.corpus_df(spark, sf_dir).withColumnRenamed("spans", "orig_spans")
+    regen = respan_df(cached_metadata(spark, sf_dir))
+    joined = regen.join(corpus, "doc_id")
+    return joined.filter(F.col("spans") != F.col("orig_spans")).select("doc_id")
+
+
 def validate_quarantine(spark, sf_dir):
     """Q3-Q8 quarantine: corpus rows violating validation rules (none in the
     synthetic corpus; rule behavior is covered by tests/test_validate_convert)."""

@@ -53,6 +53,11 @@ METADATA_SCHEMA = T.StructType(
         T.StructField("larger_works", _str_struct(COMPLEX_FIELDS["larger_works"], {"origin"})),
         T.StructField("raster_info", _str_struct(COMPLEX_FIELDS["raster_info"])),
         T.StructField("attributes", T.ArrayType(_str_struct(COMPLEX_FIELDS["attributes"]))),
+        # pre-catalog-resolution inline attributes (kept so the span-sequence
+        # round trip stays byte-exact for docs whose attributes resolve
+        # remotely; the reference analogue is the original tree's inline
+        # eainfo/featureType content before update() rewrites it)
+        T.StructField("attributes_inline", T.ArrayType(_str_struct(COMPLEX_FIELDS["attributes"]))),
         T.StructField("contacts", T.ArrayType(_str_struct(COMPLEX_FIELDS["contacts"]))),
         T.StructField("digital_forms", T.ArrayType(_str_struct(COMPLEX_FIELDS["digital_forms"]))),
         T.StructField("process_steps", T.ArrayType(_str_struct(COMPLEX_FIELDS["process_steps"], {"sources"}))),

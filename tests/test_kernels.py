@@ -64,6 +64,7 @@ def golden_record() -> dict:
             {"description": "step1", "date": "2000-01-01", "sources": ["s1", "s2"]},
         ],
     })
+    rec["attributes_inline"] = rec["attributes"]
     return rec
 
 

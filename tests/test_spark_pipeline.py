@@ -12,6 +12,7 @@ from gmx.extract import finish_attributes
 
 def golden_for(i: int) -> dict:
     want = make_record(i)
+    want["attributes_inline"] = want["attributes"]  # pre-resolution view
     kind = catalog_kind(i)
     if kind == "ok":
         want["attributes"] = finish_attributes([], catalog_attributes(i))

@@ -61,7 +61,7 @@ def test_conversion_round_trip_equality(metadata, target):
     a = {r["doc_id"]: r.asDict(recursive=True) for r in sample.collect()}
     b = {r["doc_id"]: r.asDict(recursive=True) for r in conv.collect()}
     assert set(a) == set(b)
-    skip = {"standard", "error", "media_refs", "attr_catalog_url"}
+    skip = {"standard", "error", "media_refs", "attr_catalog_url", "attributes_inline"}
     if target != "arcgis":
         # ArcGIS-only keyword kinds are outside the 39-prop contract and have
         # no location in the other dialects (like the reference, which copies
