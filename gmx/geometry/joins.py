@@ -190,19 +190,18 @@ def knn_points(
     out_cols = ("point_id", "rank", "doc_id", "dist_sq")
 
     def ranked_for(pts: DataFrame, r: int) -> DataFrame:
+        # Clamped (2r+1)^2 index window as sequence+transform (loop-compiled):
+        # unrolling 81 cell_id exprs at r=4 used to blow janino's 64KB method
+        # limit and drop the whole stage to interpreted execution.
         px = cell_ix_expr(F.col("lon"), level)
         py = cell_iy_expr(F.col("lat"), level)
-        offsets = list(range(-r, r + 1))
-        neighbor_cells = F.array_distinct(
-            F.array(*[
-                cell_id_expr(
-                    level,
-                    F.greatest(F.lit(0), F.least(F.lit(n - 1), px + F.lit(dx))),
-                    F.greatest(F.lit(0), F.least(F.lit(n - 1), py + F.lit(dy))),
-                )
-                for dx in offsets
-                for dy in offsets
-            ])
+        x0, x1 = F.greatest(F.lit(0), px - r), F.least(F.lit(n - 1), px + r)
+        y0, y1 = F.greatest(F.lit(0), py - r), F.least(F.lit(n - 1), py + r)
+        neighbor_cells = F.flatten(
+            F.transform(
+                F.sequence(x0, x1),
+                lambda ix: F.transform(F.sequence(y0, y1), lambda iy: cell_id_expr(level, ix, iy)),
+            )
         )
         probes = pts.select("point_id", "lon", "lat", F.explode(neighbor_cells).alias("cell"))
         return (
