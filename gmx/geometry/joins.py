@@ -214,7 +214,11 @@ def knn_points(
     # Escalating rounds: most points complete at the tight ring; stragglers
     # (sparse neighborhoods, lat-clamp edges) re-probe with a 4x ring before
     # the exact broadcast fallback — the fallback population shrinks
-    # geometrically, so the cross join only ever sees a residue.
+    # geometrically, so the cross join only ever sees a residue.  Escalation
+    # is adaptive: a per-round emptiness probe on the (tiny, persisted)
+    # straggler set prunes dead rounds and the fallback from the plan, so
+    # this operator launches jobs at call time like other iterative Spark
+    # algorithms.
     results: list[DataFrame] = []
     remaining = points
     for r in (ring, ring * 4):
@@ -229,18 +233,22 @@ def knn_points(
             .select("point_id")
         )
         results.append(cand.join(complete_ids, "point_id", "leftsemi").select(*out_cols))
-        remaining = remaining.join(complete_ids, "point_id", "left_anti")
+        remaining = remaining.join(complete_ids, "point_id", "left_anti").persist()
+        if remaining.isEmpty():
+            remaining = None
+            break
 
-    fallback = (
-        remaining.crossJoin(cents)
-        .select("point_id", "lon", "lat", "doc_id", dist.alias("dist_sq"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(*out_cols)
-    )
+    if remaining is not None:
+        results.append(
+            remaining.crossJoin(cents)
+            .select("point_id", "lon", "lat", "doc_id", dist.alias("dist_sq"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(*out_cols)
+        )
 
     out = results[0]
-    for part in results[1:] + [fallback]:
+    for part in results[1:]:
         out = out.unionByName(part)
     return out
 
