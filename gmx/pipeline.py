@@ -202,15 +202,27 @@ def resolve_catalog_attributes(meta: DataFrame, catalogs: DataFrame) -> DataFram
     return resolved.unionByName(no_url).withColumn("attributes", finished)
 
 
-def metadata_df(spark: SparkSession, sf_dir: str, scale: int = 1) -> DataFrame:
-    """End-to-end EP1: corpus -> reassembled text -> extraction -> catalog
-    resolution -> wide metadata DataFrame (metadata standards only).
+def metadata_from_corpus(corpus: DataFrame, persist: bool = True) -> DataFrame:
+    """EP1 from an existing span table (the production entry point — the
+    corpus is an Iceberg table of ``(doc_id, spans)`` rows per
+    BASELINE.json's input_hint): reassembled text -> dispatch -> extraction
+    -> catalog resolution -> wide metadata DataFrame.
 
-    The reassembled-docs stage feeds both the metadata branch and the catalog
-    branch; persist it so synthesis/scan runs once (in production the corpus
-    is a table, so the second branch would be a cheap pruned scan instead)."""
+    ``persist``: the reassembled-docs stage feeds both the metadata branch
+    and the catalog branch.  When the corpus is synthesized on the fly
+    (tests), persist it so generation runs once; when the corpus is a real
+    table (bench/production), leave it off — the second branch is just a
+    cheap re-scan and nothing needs cache memory."""
 
-    docs = with_document_text(corpus_df(spark, sf_dir, scale=scale)).persist()
+    docs = with_document_text(corpus)
+    if persist:
+        docs = docs.persist()
     wide = extract_wide(docs)
     meta = wide.filter(F.col("standard").isin(*METADATA_STANDARDS))
     return resolve_catalog_attributes(meta, catalog_attrs_df(docs))
+
+
+def metadata_df(spark: SparkSession, sf_dir: str, scale: int = 1) -> DataFrame:
+    """End-to-end EP1 over the synthesized corpus (test/gate entry point)."""
+
+    return metadata_from_corpus(corpus_df(spark, sf_dir, scale=scale), persist=True)
