@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": Q.dedup_simhash,
         "media_decode_stub": Q.media_decode_stub,
         "ann_lsh_topk": Q.ann_lsh_topk,
+        "ann_ivf_topk": Q.ann_ivf_topk,
     }
 
 

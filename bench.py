@@ -63,7 +63,13 @@ def main() -> None:
     sf_name = os.path.basename(sf_dir.rstrip("/"))
     corpus_path = f"/tmp/gmx_bench_corpus_{sf_name}_x{scale}"
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
-        P.corpus_df(spark, sf_dir, scale=scale).write.mode("overwrite").parquet(corpus_path)
+        # fixed file count, independent of THIS run's parallelism: a corpus
+        # written by the local[2] leg would otherwise carry 2 files and cap
+        # the local[8] leg's scan parallelism (a real Iceberg corpus has
+        # thousands of files, so scan splits are never the binding constraint)
+        P.corpus_df(spark, sf_dir, scale=scale, partitions=64).write.mode(
+            "overwrite"
+        ).parquet(corpus_path)
     corpus = spark.read.parquet(corpus_path)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
     emb.count()

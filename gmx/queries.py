@@ -369,3 +369,12 @@ def ann_lsh_topk(spark, sf_dir):
     from gmx.textops.similarity import ann_lsh_topk as _lsh
 
     return _lsh(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=KNN_K)
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (second scale path: inverted lists from
+    stride-sampled coarse centroids, numpy-vectorized assignment; recall vs
+    exact asserted in tests — rows-only check here)."""
+    from gmx.textops.similarity import ann_ivf_topk as _ivf
+
+    return _ivf(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=KNN_K)

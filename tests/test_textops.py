@@ -101,3 +101,21 @@ def test_ann_lsh_recall_vs_exact(spark, sf_dir):
     # deterministic planes -> deterministic recall; random vectors at 4 planes
     # keep ~1/16 of the corpus per bucket, so a loose floor suffices
     assert recall >= 0.1, recall
+
+
+def test_ann_ivf_recall_vs_exact(spark, sf_dir):
+    from gmx.textops.similarity import ann_ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb).collect()}
+    approx_rows = ann_ivf_topk(emb, lists=8, nprobe=4).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    # probing half of 8 lists must recover a solid share of true neighbors;
+    # stride-sampled centroids are deterministic, so this is a fixed number
+    assert recall >= 0.4, recall
+    # each query returns exactly k ranked rows (corpus fan-out is 1 per list,
+    # so probing can only shrink the candidate set, never duplicate it)
+    from collections import Counter
+    per_q = Counter(r.query_id for r in approx_rows)
+    assert all(c <= 5 for c in per_q.values())
