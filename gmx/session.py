@@ -28,6 +28,16 @@ def get_spark(app: str = "gmx", cpus: int | None = None, shuffle_partitions: int
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # metadata XML payloads are KB-sized strings: keep Arrow batches bounded
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # local-mode split sizing: the sandbox corpus is a few hundred MB, so
+        # the 128m default (right for a 100 TB cluster scan) packs it into
+        # ~4 input partitions and caps scan parallelism below the core count;
+        # 8m keeps scan tasks >= cores at bench scale.  Production overrides
+        # via SPARK_GRAFT_MAX_PARTITION_BYTES=128m.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
+        )
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -14,7 +14,7 @@ def test_oracle_keys_subset_of_queries():
     # only hash/codec-based ops may lack an oracle
     assert missing <= {
         "text_fingerprint", "dedup_minhash_lsh", "dedup_simhash",
-        "media_decode_stub", "ann_lsh_topk",
+        "media_decode_stub", "ann_lsh_topk", "ann_ivf_topk",
     }
 
 

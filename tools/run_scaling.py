@@ -78,7 +78,17 @@ Per-query wall seconds:
 Caveats: single-JVM local mode shares one driver and page cache, so the 4x
 core step under-rewards shuffle-heavy stages relative to a real 4x-executor
 cluster; per-run JIT/Python-worker warm-up is included in both columns
-(same bias both sides).
+(same bias both sides).  Both legs read the identical materialized corpus
+(fixed 64-file layout, 8m splits — scan tasks >= cores at either level).
+Efficiency slightly above 1 is possible: fixed driver/JIT/scheduling
+overheads amortize better at higher parallelism, and the shared sandbox
+host carries external load noise; the honest claim is "no parallelism
+bottleneck up to 4N", not super-linearity.
+
+Parallelism-level choice: the 32-CPU sandbox host carries a variable
+external load, so a local[8] vs local[32] comparison measures capacity
+theft, not the engine.  N=2 vs 4N=8 keeps both legs inside reliably-free
+capacity; the driver instruction permits any N vs 4N core pair.
 """
     (REPO / "BENCH" / "BASELINE.md").write_text(md)
     print(json.dumps({
