@@ -34,7 +34,11 @@ SPATIAL = ("extract", "tile_cover", "bbox_overlap", "point_in_bbox", "knn", "til
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # default local[16], not local[32]: the sandbox host carries a variable
+    # external load (loadavg ~8-15 with nothing of ours running), so claiming
+    # all 32 CPUs oversubscribes and measurably thrashes (extraction ~2x
+    # slower at 32 than at 16 under load); 16 stays inside free capacity
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
     scale = int(os.environ.get("GMX_BENCH_SCALE", "40"))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
