@@ -187,19 +187,28 @@ def resolve_catalog_attributes(meta: DataFrame, catalogs: DataFrame) -> DataFram
         ),
     ).otherwise(F.col("attributes"))
 
-    with_url = meta.filter(F.col("attr_catalog_url") != "")
-    no_url = meta.filter(F.col("attr_catalog_url") == "")
+    # One left join over the whole table, with the empty-URL majority given
+    # unique never-matching keys (null-key skew salting).  A filter/union
+    # split would re-execute the (unpersisted) extraction pass once per
+    # branch — measured 2x the extraction cost; and joining on the raw URL
+    # would make '' the hottest key in a shuffle join at scale.  Unique
+    # no-hit keys keep ONE extraction pass, no union, and no hot key
+    # whichever physical join AQE picks.
+    join_key = F.when(
+        F.col("attr_catalog_url") != "", F.col("attr_catalog_url")
+    ).otherwise(F.concat(F.lit("\x00nohit:"), F.col("doc_id")))
 
     resolved = (
-        with_url.join(catalogs, with_url.attr_catalog_url == catalogs.catalog_url, "left")
+        meta.withColumn("__catalog_key", join_key)
+        .join(catalogs, F.col("__catalog_key") == catalogs.catalog_url, "left")
         .withColumn(
             "attributes",
             F.when(F.col("remote_attributes").isNotNull(), F.col("remote_attributes"))
             .otherwise(F.col("attributes")),
         )
-        .drop("catalog_url", "remote_attributes")
+        .drop("__catalog_key", "catalog_url", "remote_attributes")
     )
-    return resolved.unionByName(no_url).withColumn("attributes", finished)
+    return resolved.withColumn("attributes", finished)
 
 
 def metadata_from_corpus(corpus: DataFrame, persist: bool = True) -> DataFrame:
