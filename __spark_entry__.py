@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_raster_info": Q.extract_raster_info,
         "extract_distribution_fields": Q.extract_distribution_fields,
         "convert_to_iso": Q.convert_to_iso,
+        "convert_to_fgdc": Q.convert_to_fgdc,
+        "convert_to_arcgis": Q.convert_to_arcgis,
         "validate_quarantine": Q.validate_quarantine,
         "spans_roundtrip_violations": Q.spans_roundtrip_violations,
         "media_refs_extract": Q.media_refs_extract,
@@ -60,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": Q.events_sessionize,
         # spatial layer (north rule)
         "spatial_tile_cover": Q.spatial_tile_cover,
+        "spatial_cell_histogram": Q.spatial_cell_histogram,
         "spatial_bbox_overlap_join": Q.spatial_bbox_overlap_join,
         "spatial_point_in_bbox": Q.spatial_point_in_bbox,
         "spatial_knn": Q.spatial_knn,

@@ -237,6 +237,15 @@ SELECT did AS doc_id, 'iso' AS standard,
        printf('Place %d|Region %d', i%7, i%5) AS place
 FROM ext"""
 
+    for _std in ("fgdc", "arcgis"):
+        o[f"convert_to_{_std}"] = f"""
+WITH {EXT}
+SELECT did AS doc_id, '{_std}' AS standard,
+       printf('Dataset %d', i) AS title,
+       printf('%.1f', wh/2.0) AS west,
+       printf('Place %d|Region %d', i%7, i%5) AS place
+FROM ext"""
+
     o["spans_roundtrip_violations"] = """
 SELECT printf('doc-%08d', doc_id) AS doc_id FROM documents WHERE 1=0"""
 
@@ -252,6 +261,14 @@ SELECT did AS doc_id,
        UNNEST(flatten([[{_cell('ix', 'iy')} for iy in range({iy0}, ({iy1})+1)]
                        for ix in range({ix0}, ({ix1})+1)])) AS cell
 FROM ext"""
+
+    o["spatial_cell_histogram"] = f"""
+WITH {EXT}, cov AS (
+  SELECT did,
+         UNNEST(flatten([[{_cell('ix', 'iy')} for iy in range({iy0}, ({iy1})+1)]
+                         for ix in range({ix0}, ({ix1})+1)])) AS cell
+  FROM ext)
+SELECT cell, COUNT(*) AS n_docs FROM cov GROUP BY cell"""
 
     o["spatial_bbox_overlap_join"] = f"""
 WITH {EXT}

@@ -248,17 +248,31 @@ def media_decode_stub(spark, sf_dir):
     )
 
 
-def convert_to_iso(spark, sf_dir):
-    """Q1 cross-standard conversion: re-emit every record as ISO-19139 and
-    re-extract — values must survive the dialect change."""
+def _convert_query(spark, sf_dir, target: str):
     from gmx.convert import convert_df
 
-    conv = convert_df(cached_metadata(spark, sf_dir), "iso")
+    conv = convert_df(cached_metadata(spark, sf_dir), target)
     return conv.select(
         "doc_id", "standard", "title",
         F.col("bounding_box.west").alias("west"),
         _join("place_keywords").alias("place"),
     )
+
+
+def convert_to_iso(spark, sf_dir):
+    """Q1 cross-standard conversion: re-emit every record as ISO-19139 and
+    re-extract — values must survive the dialect change."""
+    return _convert_query(spark, sf_dir, "iso")
+
+
+def convert_to_fgdc(spark, sf_dir):
+    """Q1 conversion into the FGDC dialect (same invariant)."""
+    return _convert_query(spark, sf_dir, "fgdc")
+
+
+def convert_to_arcgis(spark, sf_dir):
+    """Q1 conversion into the ArcGIS dialect (same invariant)."""
+    return _convert_query(spark, sf_dir, "arcgis")
 
 
 def spans_roundtrip_violations(spark, sf_dir):
@@ -294,6 +308,17 @@ def _extents(spark, sf_dir):
 def spatial_tile_cover(spark, sf_dir):
     """Cell-covering index (tile assignment) at level 4."""
     return cover_cells(_extents(spark, sf_dir), level=TILE_Z).select("doc_id", "cell")
+
+
+def spatial_cell_histogram(spark, sf_dir):
+    """Hot-cell observability: docs per covering cell at the join level —
+    the histogram the skew-tiering decisions (large-cap, salting) read;
+    partial aggregation makes this one cheap shuffle of (cell, count)."""
+    return (
+        cover_cells(_extents(spark, sf_dir), level=TILE_Z)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_docs"))
+    )
 
 
 def spatial_bbox_overlap_join(spark, sf_dir):
