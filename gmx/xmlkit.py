@@ -80,7 +80,17 @@ def find_all(el: ET.Element, path: str) -> list[ET.Element]:
 
 
 def texts_at(el: ET.Element, path: str) -> list[str]:
-    return [e.text for e in find_all(el, path) if e.text is not None and e.text.strip()]
+    """Non-empty element texts, stripped of surrounding whitespace — the
+    reference reads text through parserutils, which strips; its golden
+    fixtures (multi-line element content, tests/data/*_metadata.xml) assert
+    stripped values, so unstripped reads break fixture parity."""
+
+    out = []
+    for e in find_all(el, path):
+        t = e.text.strip() if e.text else ""
+        if t:
+            out.append(t)
+    return out
 
 
 def attrs_at(el: ET.Element, path: str, attr: str) -> list[str]:

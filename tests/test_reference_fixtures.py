@@ -1,0 +1,238 @@
+"""Parity against the reference's OWN pytest fixtures (SURVEY §5.1/5.5/5.6).
+
+The three golden documents under /root/reference/gis_metadata/tests/data/
+encode one logical record in each standard; the reference asserts every
+parser extracts TEST_METADATA_VALUES (tests/tests.py:43-157) and that all
+three parsers agree (test_parser_values, tests/tests.py:890-926).  The
+reference itself cannot run here (its parserutils dependency is not
+installed), so these tests assert OUR kernel reproduces the same golden
+values from the reference's unmodified fixture files — including the
+namespaced ISO-19110 catalog fixtures (tests/tests.py:158-191, 808-888)
+and the utility fixture's date-inference edge cases (tests/tests.py:
+1285-1303).  Fixture files are read from the read-only reference tree.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import pytest
+
+from gmx.extract import detect_standard, extract_catalog_attributes, extract_record
+from gmx.xmlkit import parse_xml
+
+DATA = Path("/root/reference/gis_metadata/tests/data")
+
+pytestmark = pytest.mark.skipif(not DATA.is_dir(), reason="reference tree absent")
+
+
+def _attrs(prefix: str, n: int) -> list[dict]:
+    return [
+        {
+            "definition": f"{prefix}Attributes Definition {i}",
+            "label": f"{prefix}Attributes Label {i}",
+            "aliases": f"{prefix}Attributes Alias {i}",
+            "definition_source": f"{prefix}Attributes Definition Source {i}",
+        }
+        for i in range(1, n + 1)
+    ]
+
+
+# reference tests/tests.py:43-157 (TEST_METADATA_VALUES), verbatim semantics
+GOLD = {
+    "abstract": "Test Abstract",
+    "attribute_accuracy": "Test Attribute Accuracy",
+    "attributes": _attrs("", 3),
+    "bounding_box": {
+        "east": "179.99999999998656",
+        "north": "87.81211601444309",
+        "west": "-179.99999999998656",
+        "south": "-86.78249642712764",
+    },
+    "contacts": [
+        {
+            "name": f"Contact Name {i}",
+            "email": f"Contact Email {i}",
+            "position": f"Contact Position {i}",
+            "organization": f"Contact Organization {i}",
+        }
+        for i in (1, 2)
+    ],
+    "dataset_completeness": "Test Dataset Completeness",
+    "data_credits": "Test Data Credits",
+    "dates": {
+        "type": "multiple",
+        "values": ["Multiple Date 1", "Multiple Date 2", "Multiple Date 3"],
+    },
+    "digital_forms": [
+        {
+            "access_desc": f"Digital Form Access Description {i}",
+            "version": f"Digital Form Version {i}",
+            "specification": f"Digital Form Specification {i}",
+            "access_instrs": f"Digital Form Access Instructions {i}",
+            "name": f"Digital Form Name {i}",
+            "network_resource": f"Digital Form Resource {i}",
+            "content": f"Digital Form Content {i}",
+            "decompression": f"Digital Form Decompression {i}",
+        }
+        for i in (1, 2)
+    ],
+    "dist_address": "Test Distribution Address",
+    "dist_address_type": "Test Distribution Address Type",
+    "dist_city": "Test Distribution City",
+    "dist_contact_org": "Test Distribution Org",
+    "dist_contact_person": "Test Distribution Person",
+    "dist_country": "US",
+    "dist_email": "Test Distribution Email",
+    "dist_liability": "Test Distribution Liability",
+    "dist_phone": "Test Distribution Phone",
+    "dist_postal": "12345",
+    "dist_state": "OR",
+    "larger_works": {
+        "publish_place": "Larger Works Place",
+        "publish_info": "Larger Works Info",
+        "other_citation": "Larger Works Other Citation",
+        "online_linkage": "http://test.largerworks.online.linkage.com",
+        "publish_date": "Larger Works Date",
+        "title": "Larger Works Title",
+        "edition": "Larger Works Edition",
+        "origin": ["Larger Works Originator"],
+    },
+    "raster_info": {
+        "dimensions": "Test # Dimensions",
+        "row_count": "Test Row Count",
+        "column_count": "Test Column Count",
+        "vertical_count": "Test Vertical Count",
+        "x_resolution": "Test X Resolution",
+        "y_resolution": "Test Y Resolution",
+    },
+    "online_linkages": "http://test.onlinelinkages.org",
+    "originators": "Test Originators",
+    "other_citation_info": "Test Other Citation Info",
+    "place_keywords": ["Oregon", "Washington"],
+    "process_steps": [
+        {
+            "sources": ["Process Step Sources 1.1", "Process Step Sources 1.2"],
+            "description": "Process Step Description 1",
+            "date": "Process Step Date 1",
+        },
+        {"sources": [], "description": "Process Step Description 2", "date": ""},
+        {"sources": [], "description": "", "date": "Process Step Date 3"},
+        {
+            "sources": ["Process Step Sources 4.1", "Process Step Sources 4.2"],
+            "description": "Process Step Description 4",
+            "date": "",
+        },
+    ],
+    "processing_fees": "Test Processing Fees",
+    "processing_instrs": "Test Processing Instructions",
+    "purpose": "Test Purpose",
+    "publish_date": "Test Publish Date",
+    "resource_desc": "Test Resource Description",
+    "stratum_keywords": ["Layer One", "Layer Two"],
+    "supplementary_info": "Test Supplementary Info",
+    "tech_prerequisites": "Test Technical Prerequisites",
+    "temporal_keywords": ["Now", "Later"],
+    "thematic_keywords": ["Ecoregion", "Risk", "Threat", "Habitat"],
+    "title": "Test Title",
+    "use_constraints": "Test Use Constraints",
+}
+
+FIXTURES = {
+    "fgdc": "fgdc_metadata.xml",
+    "iso": "iso_metadata.xml",
+    "arcgis": "arcgis_metadata.xml",
+}
+
+
+@pytest.fixture(scope="module")
+def records():
+    return {
+        std: extract_record((DATA / name).read_text()) for std, name in FIXTURES.items()
+    }
+
+
+@pytest.mark.parametrize("std", list(FIXTURES))
+def test_reference_fixture_golden_values(records, std):
+    """test_parser_values half 1 (tests/tests.py:890-908): every property of
+    each fixture equals the reference's golden dict."""
+
+    rec = records[std]
+    assert rec["standard"] == std
+    assert rec["error"] == ""
+    diffs = {k: (rec.get(k), want) for k, want in GOLD.items() if rec.get(k) != want}
+    assert not diffs, diffs
+
+
+def test_reference_fixtures_agree_with_each_other(records):
+    """test_parser_values half 2 (tests/tests.py:909-926): all three
+    standards extract identical values for every shared property."""
+
+    fgdc, iso, arcgis = records["fgdc"], records["iso"], records["arcgis"]
+    for k in GOLD:
+        assert fgdc[k] == iso[k] == arcgis[k], k
+
+
+def test_iso_fixture_catalog_url(records):
+    """The ISO fixture carries a feature-catalog citation href
+    (iso_metadata.xml:43); the engine extracts it as the join key replacing
+    the reference's remote fetch (iso_metadata_parser.py:357-381)."""
+
+    assert (
+        records["iso"]["attr_catalog_url"]
+        == "http://www.isotc211.org/2005/gfc/resources/example/G_3.xml"
+    )
+
+
+@pytest.mark.parametrize(
+    "name, prefix",
+    [("iso_citation_href.xml", "HREF "), ("iso_citation_linkage.xml", "LINKAGE ")],
+)
+def test_reference_catalog_fixtures(name, prefix):
+    """The namespaced ISO-19110 catalog fixtures parse to the reference's
+    expected remote attribute sets (TEST_REMOTE_ISO_ATTRIBUTES,
+    tests/tests.py:158-191); also exercises namespace stripping on gfc:/gmd:
+    prefixed documents."""
+
+    xml = (DATA / name).read_text()
+    root = parse_xml(xml)
+    assert detect_standard(root.tag, {c.tag for c in root}) == "iso19110"
+    assert extract_catalog_attributes(xml) == _attrs(prefix, 3)
+
+
+def test_catalog_lookup_overrides_inline_attributes():
+    """Mocked-remote behavior (tests/tests.py:808-825): when the catalog
+    resolves, remote attributes replace inline ones; aliases default to
+    label when empty (iso_metadata_parser.py:343-355)."""
+
+    iso_xml = (DATA / "iso_metadata.xml").read_text()
+    href_xml = (DATA / "iso_citation_href.xml").read_text()
+    catalogs = {"http://www.isotc211.org/2005/gfc/resources/example/G_3.xml": href_xml}
+    rec = extract_record(iso_xml, catalog_lookup=catalogs.get)
+    assert rec["attributes"] == _attrs("HREF ", 3)
+    assert rec["attributes_inline"] == _attrs("", 3)
+
+    # unresolvable catalog -> inline fallback (tests/tests.py:866-888)
+    rec = extract_record(iso_xml, catalog_lookup=lambda url: None)
+    assert rec["attributes"] == _attrs("", 3)
+
+
+def test_utility_fixture_date_inference():
+    """Date cascade on the utility fixture (tests/tests.py:1285-1303):
+    a single date stored under the multiple-dates root parses as 'single';
+    with that root removed, the 2+2 range dates parse as 'multiple'."""
+
+    xml = (DATA / "utility_metadata.xml").read_text()
+    rec = extract_record(xml)
+    assert rec["dates"] == {"type": "single", "values": ["Multiple Date 1"]}
+
+    surgically = re.sub(r"<mdattim>.*?</mdattim>", "", xml, flags=re.S)
+    rec = extract_record(surgically)
+    assert rec["dates"]["type"] == "multiple"
+    assert set(rec["dates"]["values"]) == {
+        "Date Range Start 1",
+        "Date Range Start 2",
+        "Date Range End 1",
+        "Date Range End 2",
+    }
