@@ -236,3 +236,23 @@ def test_utility_fixture_date_inference():
         "Date Range End 1",
         "Date Range End 2",
     }
+
+
+@pytest.mark.parametrize("src", list(FIXTURES))
+@pytest.mark.parametrize("dst", list(FIXTURES))
+def test_reference_fixture_conversion_equality(records, src, dst):
+    """Conversion equality for every ordered standard pair
+    (assert_parser_conversion, tests/tests.py:281-298, 928-1022): a fixture
+    record serialized in another dialect and re-extracted still equals the
+    golden dict."""
+
+    from gmx.serialize import serialize
+
+    rec = dict(records[src])
+    # serialize from the stored (inline) attribute view, as the dialects do
+    rec["attributes"] = rec["attributes_inline"]
+    regenerated = serialize(rec, dst)
+    back = extract_record(regenerated)
+    assert back["standard"] == dst
+    diffs = {k: (back.get(k), want) for k, want in GOLD.items() if back.get(k) != want}
+    assert not diffs, diffs
