@@ -171,9 +171,12 @@ def knn_points(
     tie-broken by doc_id.  Plan: each centroid indexes into ONE cell; each
     point probes its (2*ring+1)^2 cell neighborhood (a bounded fan-out
     equi-join, not a cross join); a window takes the top k.  Candidates are
-    provably complete when the k-th distance is within ``ring`` cell-heights;
-    points that fail the bound (possible only in near-empty regions) fall
-    back to an exact broadcast pass — so results are exact at every density.
+    provably complete when the k-th distance is within the point's exact
+    distance to the nearest probed-window edge (any unseen centroid lies
+    beyond that edge; window edges at the world boundary have nothing
+    beyond them and count as infinite).  Points that fail the bound
+    (possible only in near-empty regions) fall back to an exact broadcast
+    pass — so results are exact at every density.
     Returns (point_id, rank, doc_id, dist_sq).
     """
 
@@ -203,10 +206,25 @@ def knn_points(
                 lambda ix: F.transform(F.sequence(y0, y1), lambda iy: cell_id_expr(level, ix, iy)),
             )
         )
-        probes = pts.select("point_id", "lon", "lat", F.explode(neighbor_cells).alias("cell"))
+        # exact completeness bound: distance to the nearest probed-window
+        # edge (an unseen centroid must lie beyond one); edges clamped at
+        # the world boundary have nothing beyond them -> effectively inf
+        cw, ch = 360.0 / n, 180.0 / n
+        big = F.lit(1e18)
+        safe = F.least(
+            F.when(x0 == 0, big).otherwise(F.col("lon") - (x0 * cw - 180.0)),
+            F.when(x1 == n - 1, big).otherwise((x1 + 1) * cw - 180.0 - F.col("lon")),
+            F.when(y0 == 0, big).otherwise(F.col("lat") - (y0 * ch - 90.0)),
+            F.when(y1 == n - 1, big).otherwise((y1 + 1) * ch - 90.0 - F.col("lat")),
+        )
+        probes = pts.select(
+            "point_id", "lon", "lat",
+            (safe * safe).alias("bound_sq"),
+            F.explode(neighbor_cells).alias("cell"),
+        )
         return (
             probes.join(cent_idx, on="cell")
-            .select("point_id", "lon", "lat", "doc_id", dist.alias("dist_sq"))
+            .select("point_id", "lon", "lat", "bound_sq", "doc_id", dist.alias("dist_sq"))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
         )
@@ -225,11 +243,14 @@ def knn_points(
         # persisted: feeds the result slice, the completeness stats, and the
         # next round's anti-join (tiny: <= k rows per point)
         cand = ranked_for(remaining, r).persist()
-        bound_sq = (r * 180.0 / n) ** 2
         complete_ids = (
             cand.groupBy("point_id")
-            .agg(F.count("*").alias("cnt"), F.max("dist_sq").alias("kth_sq"))
-            .filter((F.col("cnt") >= k) & (F.col("kth_sq") <= F.lit(bound_sq)))
+            .agg(
+                F.count("*").alias("cnt"),
+                F.max("dist_sq").alias("kth_sq"),
+                F.first("bound_sq").alias("bound_sq"),
+            )
+            .filter((F.col("cnt") >= k) & (F.col("kth_sq") <= F.col("bound_sq")))
             .select("point_id")
         )
         results.append(cand.join(complete_ids, "point_id", "leftsemi").select(*out_cols))
