@@ -105,7 +105,11 @@ def main() -> None:
         times[name] = round(time.time() - t0, 3)
         return out
 
-    meta = P.metadata_from_corpus(corpus, persist=False).persist()
+    # the spatial pipeline consumes only the bounding box: declare the
+    # projection so the extraction pass prunes the other ~75 chain
+    # resolutions per doc and the catalog join (projection pushdown into
+    # the Python stage — Catalyst cannot see through mapInPandas)
+    meta = P.metadata_from_corpus(corpus, persist=False, props={"bounding_box"}).persist()
     n_docs = timed("extract", meta.count)
 
     ext = extents_df(meta).persist()

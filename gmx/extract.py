@@ -281,13 +281,22 @@ def empty_record() -> dict:
     return rec
 
 
-def extract_record(xml_text: str, catalog_lookup=None) -> dict:
+def extract_record(xml_text: str, catalog_lookup=None, props: set | None = None) -> dict:
     """XML document -> wide record dict (plus ``standard`` and ``error``).
 
     ``catalog_lookup``: optional ``url -> catalog_xml`` callable used by
     single-node oracles; the Spark pipeline resolves catalogs with a join
     instead (gmx.pipeline) and leaves this None.
+
+    ``props``: optional property subset — projection pushdown INTO the
+    Python stage.  Catalyst prunes columns down to the scan but cannot see
+    inside a mapInPandas, so a pipeline that only consumes e.g.
+    ``bounding_box`` (the spatial layer) passes the subset here and skips
+    the other ~75 chain resolutions per document entirely.  ``None``
+    computes everything; dispatch (``standard``/``error``) always runs.
     """
+
+    need = (lambda p: True) if props is None else (lambda p: p in props)
 
     rec = empty_record()
     rec["standard"] = STANDARD_UNKNOWN
@@ -308,35 +317,44 @@ def extract_record(xml_text: str, catalog_lookup=None) -> dict:
     spec = SPECS[standard]
 
     for prop, chain in spec.simple.items():
-        rec[prop] = _join(xmlkit.resolve_chain(tree, chain), chain[0])
+        if need(prop):
+            rec[prop] = _join(xmlkit.resolve_chain(tree, chain), chain[0])
 
     if spec.keywords:
         for prop, chain in spec.keywords.items():
-            rec[prop] = _split_multi(xmlkit.resolve_chain(tree, chain))
-    if spec.keyword_groups:
-        rec.update(_parse_keyword_groups(tree, spec))
+            if need(prop):
+                rec[prop] = _split_multi(xmlkit.resolve_chain(tree, chain))
+    if spec.keyword_groups and any(need(p) for p in spec.keyword_groups):
+        rec.update(
+            (p, v) for p, v in _parse_keyword_groups(tree, spec).items() if need(p)
+        )
     for prop, chain in (spec.extra_keywords or {}).items():
-        rec[prop] = _split_multi(xmlkit.resolve_chain(tree, chain))
+        if need(prop):
+            rec[prop] = _split_multi(xmlkit.resolve_chain(tree, chain))
 
     for prop, cspec in spec.complexes.items():
-        if prop == "digital_forms":
+        if prop == "digital_forms" or not need(prop):
             continue
         if cspec.is_list:
             rec[prop] = _parse_struct_list(tree, cspec, prop, cspec.root)
         else:
             rec[prop] = _parse_struct(tree, cspec, prop)
 
-    rec["digital_forms"] = _parse_digital_forms(tree, spec)
-    rec["dates"] = _parse_dates(tree, spec)
+    if need("digital_forms"):
+        rec["digital_forms"] = _parse_digital_forms(tree, spec)
+    if need("dates"):
+        rec["dates"] = _parse_dates(tree, spec)
 
-    if spec.raster_dims is not None:
+    if spec.raster_dims is not None and need("raster_info"):
         rec["raster_info"] = _parse_raster_pivot(tree, spec)
     if spec.report_items:
-        rec.update(_parse_report_items(tree, spec))
+        rec.update(
+            (p, v) for p, v in _parse_report_items(tree, spec).items() if need(p)
+        )
 
     rec["attributes_inline"] = list(rec["attributes"])
 
-    if standard == "iso":
+    if standard == "iso" and need("attributes"):
         url_vals = xmlkit.resolve_chain(tree, spec.attr_catalog_url)
         rec["attr_catalog_url"] = url_vals[0] if url_vals else ""
         remote = None

@@ -125,22 +125,39 @@ def with_standard(docs: DataFrame, xml_col: str = "xml") -> DataFrame:
 
 # ----------------------------------------------------- extraction (P1..C9)
 
-def extract_wide(docs_with_xml: DataFrame) -> DataFrame:
-    """One Arrow pass: (doc_id, xml, media_refs) -> wide metadata rows."""
+ALWAYS_FIELDS = ("doc_id", "standard", "error", "media_refs")
 
-    out_fields = [f.name for f in METADATA_SCHEMA.fields]
+
+def _pruned_schema(props: set | None):
+    if props is None:
+        return METADATA_SCHEMA
+    from pyspark.sql.types import StructType
+
+    keep = set(ALWAYS_FIELDS) | props
+    return StructType([f for f in METADATA_SCHEMA.fields if f.name in keep])
+
+
+def extract_wide(docs_with_xml: DataFrame, props: set | None = None) -> DataFrame:
+    """One Arrow pass: (doc_id, xml, media_refs) -> wide metadata rows.
+
+    ``props`` prunes the projection INTO the Python stage (Catalyst cannot
+    see through mapInPandas): only the requested properties are parsed and
+    only their columns cross Arrow back to the JVM."""
+
+    schema = _pruned_schema(props)
+    out_fields = [f.name for f in schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = []
             for doc_id, xml, media in zip(pdf["doc_id"], pdf["xml"], pdf["media_refs"]):
-                rec = extract_record(xml)
+                rec = extract_record(xml, props=props)
                 rec["doc_id"] = doc_id
                 rec["media_refs"] = list(media) if media is not None else []
                 recs.append(rec)
             yield pd.DataFrame({name: [r.get(name) for r in recs] for name in out_fields})
 
-    return docs_with_xml.mapInPandas(run, schema=METADATA_SCHEMA)
+    return docs_with_xml.mapInPandas(run, schema=schema)
 
 
 def catalog_attrs_df(docs_with_xml: DataFrame) -> DataFrame:
@@ -211,7 +228,9 @@ def resolve_catalog_attributes(meta: DataFrame, catalogs: DataFrame) -> DataFram
     return resolved.withColumn("attributes", finished)
 
 
-def metadata_from_corpus(corpus: DataFrame, persist: bool = True) -> DataFrame:
+def metadata_from_corpus(
+    corpus: DataFrame, persist: bool = True, props: set | None = None
+) -> DataFrame:
     """EP1 from an existing span table (the production entry point — the
     corpus is an Iceberg table of ``(doc_id, spans)`` rows per
     BASELINE.json's input_hint): reassembled text -> dispatch -> extraction
@@ -221,13 +240,19 @@ def metadata_from_corpus(corpus: DataFrame, persist: bool = True) -> DataFrame:
     and the catalog branch.  When the corpus is synthesized on the fly
     (tests), persist it so generation runs once; when the corpus is a real
     table (bench/production), leave it off — the second branch is just a
-    cheap re-scan and nothing needs cache memory."""
+    cheap re-scan and nothing needs cache memory.
+
+    ``props``: property subset for projection pushdown into the extraction
+    pass (see extract_wide); when ``attributes`` is not requested, the
+    catalog branch and its join are pruned from the plan entirely."""
 
     docs = with_document_text(corpus)
     if persist:
         docs = docs.persist()
-    wide = extract_wide(docs)
+    wide = extract_wide(docs, props=props)
     meta = wide.filter(F.col("standard").isin(*METADATA_STANDARDS))
+    if props is not None and "attributes" not in props:
+        return meta
     return resolve_catalog_attributes(meta, catalog_attrs_df(docs))
 
 
