@@ -35,8 +35,17 @@ def main() -> None:
     high = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     factor = high / low
 
-    r_low = run_bench(low)
-    r_high = run_bench(high)
+    # The sandbox host carries a variable external load; a single run per
+    # leg can land on a load spike and misstate either side.  Interleave
+    # GMX_SCALING_REPS runs per leg and keep each leg's best (least
+    # load-contaminated) run — both legs get equal exposure to the noise.
+    reps = int(os.environ.get("GMX_SCALING_REPS", "2"))
+    runs_low, runs_high = [], []
+    for _ in range(reps):
+        runs_low.append(run_bench(low))
+        runs_high.append(run_bench(high))
+    r_low = min(runs_low, key=lambda r: r["value"])
+    r_high = min(runs_high, key=lambda r: r["value"])
 
     thr_low = r_low["docs"] / r_low["value"]
     thr_high = r_high["docs"] / r_high["value"]
@@ -83,7 +92,8 @@ cluster; per-run JIT/Python-worker warm-up is included in both columns
 Efficiency slightly above 1 is possible: fixed driver/JIT/scheduling
 overheads amortize better at higher parallelism, and the shared sandbox
 host carries external load noise; the honest claim is "no parallelism
-bottleneck up to 4N", not super-linearity.
+bottleneck up to 4N", not super-linearity.  Each leg is the best of
+{reps} interleaved runs (equal noise exposure both sides).
 
 Parallelism-level choice: the 32-CPU sandbox host carries a variable
 external load, so a local[8] vs local[32] comparison measures capacity
