@@ -256,3 +256,28 @@ def test_reference_fixture_conversion_equality(records, src, dst):
     assert back["standard"] == dst
     diffs = {k: (back.get(k), want) for k, want in GOLD.items() if back.get(k) != want}
     assert not diffs, diffs
+
+
+@pytest.mark.parametrize(
+    "subset",
+    [
+        {"bounding_box"},
+        {"title", "dates"},
+        {"attributes", "contacts", "digital_forms"},
+        {"raster_info", "place_keywords", "thematic_keywords"},
+        {"process_steps", "attribute_accuracy", "dataset_completeness"},
+    ],
+    ids=lambda s: "+".join(sorted(s)),
+)
+@pytest.mark.parametrize("std", list(FIXTURES))
+def test_pruned_extraction_matches_full(records, std, subset):
+    """Projection pushdown parity: for any property subset, the pruned
+    kernel returns exactly the full kernel's values for those properties
+    (plus dispatch), on the reference's own fixtures."""
+
+    xml = (DATA / FIXTURES[std]).read_text()
+    pruned = extract_record(xml, props=subset)
+    full = records[std]
+    assert pruned["standard"] == full["standard"]
+    for p in subset:
+        assert pruned[p] == full[p], p
