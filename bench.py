@@ -63,9 +63,19 @@ def main() -> None:
     raw_docs.count()
 
     # materialize the span corpus as a table (untimed; reused across runs so
-    # both parallelism levels in the scaling comparison read identical input)
+    # both parallelism levels in the scaling comparison read identical input).
+    # The cache key includes a hash of the synthesis code so editing corpus
+    # generation can never silently reuse a stale /tmp corpus.
+    import hashlib
+    import gmx.corpus, gmx.serialize  # noqa: E401 (corpus rows depend on both)
+
+    src = b""
+    for mod in (gmx.corpus, gmx.serialize):
+        with open(mod.__file__, "rb") as fh:
+            src += fh.read()
+    tag = hashlib.sha1(src).hexdigest()[:8]
     sf_name = os.path.basename(sf_dir.rstrip("/"))
-    corpus_path = f"/tmp/gmx_bench_corpus_{sf_name}_x{scale}"
+    corpus_path = f"/tmp/gmx_bench_corpus_{sf_name}_x{scale}_{tag}"
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         # fixed file count, independent of THIS run's parallelism: a corpus
         # written by the local[2] leg would otherwise carry 2 files and cap

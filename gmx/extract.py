@@ -44,6 +44,9 @@ from gmx.specs.model import ComplexSpec, StandardSpec
 STANDARD_CATALOG = "iso19110"
 STANDARD_UNKNOWN = ""
 
+# props that derive from the same parse; requested together or not at all
+ATTRIBUTE_PROPS = {"attributes", "attributes_inline", "attr_catalog_url"}
+
 
 def detect_standard(root_tag: str, child_tags: set[str]) -> str:
     """Dispatch rule (get_metadata_parser, metadata_parser.py:46-80):
@@ -296,6 +299,10 @@ def extract_record(xml_text: str, catalog_lookup=None, props: set | None = None)
     computes everything; dispatch (``standard``/``error``) always runs.
     """
 
+    if props is not None and props & ATTRIBUTE_PROPS:
+        # the three attribute-family props derive from one parse: requesting
+        # any of them must parse the source, or the others silently empty
+        props = set(props) | ATTRIBUTE_PROPS
     need = (lambda p: True) if props is None else (lambda p: p in props)
 
     rec = empty_record()
@@ -347,7 +354,7 @@ def extract_record(xml_text: str, catalog_lookup=None, props: set | None = None)
 
     if spec.raster_dims is not None and need("raster_info"):
         rec["raster_info"] = _parse_raster_pivot(tree, spec)
-    if spec.report_items:
+    if spec.report_items and any(need(p) for p in spec.report_items):
         rec.update(
             (p, v) for p, v in _parse_report_items(tree, spec).items() if need(p)
         )

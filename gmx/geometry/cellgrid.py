@@ -55,18 +55,27 @@ def point_cell_expr(lon: Column, lat: Column, level: int) -> Column:
     return cell_id_expr(level, cell_ix_expr(lon, level), cell_iy_expr(lat, level))
 
 
-def covering_expr(west: Column, south: Column, east: Column, north: Column, level: int) -> Column:
-    """Array<long> of cell ids covering a bbox at ``level`` — pure JVM
-    expressions (sequence + nested transform + flatten), no UDF."""
+def cells_for_ranges(ix0: Column, ix1: Column, iy0: Column, iy1: Column, level: int) -> Column:
+    """Array<long> of cell ids for an inclusive index-range window — built
+    with sequence + nested transform + flatten so the generated code is a
+    loop, not an unrolled expression (unrolling blows janino's 64KB method
+    limit for large windows)."""
 
-    ix0, ix1 = cell_ix_expr(west, level), cell_ix_expr(east, level)
-    iy0, iy1 = cell_iy_expr(south, level), cell_iy_expr(north, level)
     return F.flatten(
         F.transform(
             F.sequence(ix0, ix1),
             lambda ix: F.transform(F.sequence(iy0, iy1), lambda iy: cell_id_expr(level, ix, iy)),
         )
     )
+
+
+def covering_expr(west: Column, south: Column, east: Column, north: Column, level: int) -> Column:
+    """Array<long> of cell ids covering a bbox at ``level`` — pure JVM
+    expressions, no UDF."""
+
+    ix0, ix1 = cell_ix_expr(west, level), cell_ix_expr(east, level)
+    iy0, iy1 = cell_iy_expr(south, level), cell_iy_expr(north, level)
+    return cells_for_ranges(ix0, ix1, iy0, iy1, level)
 
 
 def covering_size_expr(west: Column, south: Column, east: Column, north: Column, level: int) -> Column:

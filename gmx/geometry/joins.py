@@ -33,6 +33,7 @@ from gmx.geometry.cellgrid import (
     cell_id_expr,
     cell_ix_expr,
     cell_iy_expr,
+    cells_for_ranges,
     covering_expr,
     covering_size_expr,
     nx,
@@ -193,19 +194,11 @@ def knn_points(
     out_cols = ("point_id", "rank", "doc_id", "dist_sq")
 
     def ranked_for(pts: DataFrame, r: int) -> DataFrame:
-        # Clamped (2r+1)^2 index window as sequence+transform (loop-compiled):
-        # unrolling 81 cell_id exprs at r=4 used to blow janino's 64KB method
-        # limit and drop the whole stage to interpreted execution.
         px = cell_ix_expr(F.col("lon"), level)
         py = cell_iy_expr(F.col("lat"), level)
         x0, x1 = F.greatest(F.lit(0), px - r), F.least(F.lit(n - 1), px + r)
         y0, y1 = F.greatest(F.lit(0), py - r), F.least(F.lit(n - 1), py + r)
-        neighbor_cells = F.flatten(
-            F.transform(
-                F.sequence(x0, x1),
-                lambda ix: F.transform(F.sequence(y0, y1), lambda iy: cell_id_expr(level, ix, iy)),
-            )
-        )
+        neighbor_cells = cells_for_ranges(x0, x1, y0, y1, level)
         # exact completeness bound: distance to the nearest probed-window
         # edge (an unseen centroid must lie beyond one); edges clamped at
         # the world boundary have nothing beyond them -> effectively inf
@@ -238,10 +231,12 @@ def knn_points(
     # this operator launches jobs at call time like other iterative Spark
     # algorithms.
     results: list[DataFrame] = []
+    stragglers: list[DataFrame] = []  # unpersisted on exit (can be large)
     remaining = points
     for r in (ring, ring * 4):
         # persisted: feeds the result slice, the completeness stats, and the
-        # next round's anti-join (tiny: <= k rows per point)
+        # next round's anti-join; cands stay cached (<= k rows per point,
+        # referenced lazily by the returned DataFrame)
         cand = ranked_for(remaining, r).persist()
         complete_ids = (
             cand.groupBy("point_id")
@@ -255,6 +250,7 @@ def knn_points(
         )
         results.append(cand.join(complete_ids, "point_id", "leftsemi").select(*out_cols))
         remaining = remaining.join(complete_ids, "point_id", "left_anti").persist()
+        stragglers.append(remaining)
         if remaining.isEmpty():
             remaining = None
             break
@@ -267,6 +263,13 @@ def knn_points(
             .filter(F.col("rank") <= k)
             .select(*out_cols)
         )
+
+    # straggler sets can be a large fraction of the points; every round's
+    # cand is already materialized, so only the final set (feeding the
+    # fallback lazily) must stay cached
+    for s in stragglers:
+        if s is not remaining:
+            s.unpersist()
 
     out = results[0]
     for part in results[1:]:

@@ -128,6 +128,17 @@ def with_standard(docs: DataFrame, xml_col: str = "xml") -> DataFrame:
 ALWAYS_FIELDS = ("doc_id", "standard", "error", "media_refs")
 
 
+def _expanded_props(props: set | None) -> set | None:
+    """The attribute family derives from one parse (and the catalog join
+    consumes attr_catalog_url): requesting any member pulls in all three."""
+
+    from gmx.extract import ATTRIBUTE_PROPS
+
+    if props is not None and props & ATTRIBUTE_PROPS:
+        return set(props) | ATTRIBUTE_PROPS
+    return props
+
+
 def _pruned_schema(props: set | None):
     if props is None:
         return METADATA_SCHEMA
@@ -144,6 +155,7 @@ def extract_wide(docs_with_xml: DataFrame, props: set | None = None) -> DataFram
     see through mapInPandas): only the requested properties are parsed and
     only their columns cross Arrow back to the JVM."""
 
+    props = _expanded_props(props)
     schema = _pruned_schema(props)
     out_fields = [f.name for f in schema.fields]
 
@@ -246,6 +258,7 @@ def metadata_from_corpus(
     pass (see extract_wide); when ``attributes`` is not requested, the
     catalog branch and its join are pruned from the plan entirely."""
 
+    props = _expanded_props(props)
     docs = with_document_text(corpus)
     if persist:
         docs = docs.persist()

@@ -177,7 +177,9 @@ def ann_ivf_topk(
         F.col(id_col).alias("nid"), _quantized(F.col(vec_col)).alias("nvec")
     ).withColumn("nnorm", _dot(F.col("nvec"), F.col("nvec")))
 
-    # deterministic coarse quantizer: stride-sampled centroids (tiny collect)
+    # deterministic coarse quantizer: stride-sampled centroids (tiny collect);
+    # corpora too small/sparse for the stride fall back to the first ids,
+    # and an empty corpus returns an empty (correctly-typed) result
     cents = (
         base.filter(F.pmod(F.col("nid"), F.lit(37)) == 0)
         .orderBy("nid")
@@ -185,6 +187,14 @@ def ann_ivf_topk(
         .select("nvec")
         .collect()
     )
+    if not cents:
+        cents = base.orderBy("nid").limit(lists).select("nvec").collect()
+    if not cents:
+        return base.select(
+            F.col("nid").alias("query_id"),
+            F.lit(1).cast("int").alias("rank"),
+            F.col("nid").alias("neighbor_id"),
+        ).limit(0)
     C = np.asarray([r["nvec"] for r in cents], dtype=np.float64)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 

@@ -281,3 +281,15 @@ def test_pruned_extraction_matches_full(records, std, subset):
     assert pruned["standard"] == full["standard"]
     for p in subset:
         assert pruned[p] == full[p], p
+
+
+def test_attribute_family_prunes_together():
+    """Requesting any attribute-family member parses the whole family —
+    attr_catalog_url / attributes_inline alone must not return silently
+    empty values (the family derives from one parse)."""
+
+    xml = (DATA / "iso_metadata.xml").read_text()
+    for wanted in ({"attr_catalog_url"}, {"attributes_inline"}, {"attributes"}):
+        rec = extract_record(xml, props=wanted)
+        assert rec["attr_catalog_url"].startswith("http")
+        assert rec["attributes_inline"] == _attrs("", 3)

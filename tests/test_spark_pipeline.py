@@ -50,3 +50,27 @@ def test_standard_distribution(metadata):
 
 def test_no_extraction_errors(metadata):
     assert metadata.filter(F.col("error") != "").count() == 0
+
+
+def test_pruned_pipeline_with_attributes(spark, sf_dir):
+    """props={'attributes'} must carry attr_catalog_url through the pruned
+    schema so the catalog join resolves (regression: UNRESOLVED_COLUMN)."""
+    from gmx import pipeline as P
+
+    corpus = P.corpus_df(spark, sf_dir)
+    m = P.metadata_from_corpus(corpus, props={"attributes"})
+    rows = m.select("doc_id", "attributes").limit(5).collect()
+    assert rows and "attributes" in m.columns
+
+
+def test_pruned_pipeline_bbox_skips_catalog(spark, sf_dir):
+    """props={'bounding_box'} prunes the catalog join and yields the same
+    extents as the full pipeline."""
+    from pyspark.sql import functions as F
+    from gmx import pipeline as P
+    from gmx.geometry import extents_df
+
+    corpus = P.corpus_df(spark, sf_dir)
+    pruned = extents_df(P.metadata_from_corpus(corpus, props={"bounding_box"}))
+    full = extents_df(P.metadata_from_corpus(P.corpus_df(spark, sf_dir)))
+    assert pruned.exceptAll(full).isEmpty() and full.exceptAll(pruned).isEmpty()

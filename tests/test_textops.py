@@ -119,3 +119,13 @@ def test_ann_ivf_recall_vs_exact(spark, sf_dir):
     from collections import Counter
     per_q = Counter(r.query_id for r in approx_rows)
     assert all(c <= 5 for c in per_q.values())
+
+
+def test_ann_ivf_degenerate_corpora(spark, sf_dir):
+    """IVF must survive corpora the stride sample misses, and empty input."""
+    from gmx.textops.similarity import ann_ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    small = emb.filter("vec_id >= 1 and vec_id <= 20")
+    assert ann_ivf_topk(small, k=3, query_mod=5).count() > 0
+    assert ann_ivf_topk(emb.filter("vec_id < 0")).count() == 0

@@ -40,6 +40,7 @@ def main() -> None:
     # GMX_SCALING_REPS runs per leg and keep each leg's best (least
     # load-contaminated) run — both legs get equal exposure to the noise.
     reps = int(os.environ.get("GMX_SCALING_REPS", "2"))
+    split_size = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m")
     runs_low, runs_high = [], []
     for _ in range(reps):
         runs_low.append(run_bench(low))
@@ -84,20 +85,22 @@ Per-query wall seconds:
 |---|---|---|
 {rows}
 
-Caveats: single-JVM local mode shares one driver and page cache, so the 4x
-core step under-rewards shuffle-heavy stages relative to a real 4x-executor
-cluster; per-run JIT/Python-worker warm-up is included in both columns
-(same bias both sides).  Both legs read the identical materialized corpus
-(fixed 64-file layout, 8m splits — scan tasks >= cores at either level).
-Efficiency slightly above 1 is possible: fixed driver/JIT/scheduling
-overheads amortize better at higher parallelism, and the shared sandbox
-host carries external load noise; the honest claim is "no parallelism
-bottleneck up to 4N", not super-linearity.  Each leg is the best of
-{reps} interleaved runs (equal noise exposure both sides).
+Caveats: single-JVM local mode shares one driver and page cache, so the
+{factor:.0f}x core step under-rewards shuffle-heavy stages relative to a
+real {factor:.0f}x-executor cluster; per-run JIT/Python-worker warm-up is
+included in both columns (same bias both sides).  Both legs read the
+identical materialized corpus (fixed 64-file layout; split size
+{split_size} — scan tasks >= cores at either level).  Efficiency slightly
+above 1 is possible: fixed driver/JIT/scheduling overheads amortize better
+at higher parallelism, and the shared sandbox host carries external load
+noise; the honest claim is "no parallelism bottleneck up to
+{factor:.0f}N", not super-linearity.  Each leg is the best of {reps}
+interleaved runs (equal noise exposure both sides).
 
 Parallelism-level choice: the 32-CPU sandbox host carries a variable
-external load, so a local[8] vs local[32] comparison measures capacity
-theft, not the engine.  N=2 vs 4N=8 keeps both legs inside reliably-free
+external load (loadavg 8-15 with nothing of ours running), so comparisons
+claiming most of the machine measure capacity theft, not the engine.
+N={low} vs {factor:.0f}N={high} keeps both legs inside reliably-free
 capacity; the driver instruction permits any N vs 4N core pair.
 """
     (REPO / "BENCH" / "BASELINE.md").write_text(md)
