@@ -74,3 +74,37 @@ def test_pruned_pipeline_bbox_skips_catalog(spark, sf_dir):
     pruned = extents_df(P.metadata_from_corpus(corpus, props={"bounding_box"}))
     full = extents_df(P.metadata_from_corpus(P.corpus_df(spark, sf_dir)))
     assert pruned.exceptAll(full).isEmpty() and full.exceptAll(pruned).isEmpty()
+
+
+def test_ingest_reference_xml_directory(spark, tmp_path):
+    """Reference-input compatibility: a directory of raw metadata XML files
+    (the reference's native input) ingests into the span corpus and extracts
+    the reference's golden values unchanged."""
+    import shutil
+    from pathlib import Path
+    from pyspark.sql import functions as F
+    from gmx import pipeline as P
+    from gmx.ingest import corpus_from_xml_files
+
+    src = Path("/root/reference/gis_metadata/tests/data")
+    for name in ("fgdc_metadata.xml", "iso_metadata.xml", "arcgis_metadata.xml"):
+        shutil.copy(src / name, tmp_path / name)
+
+    corpus = corpus_from_xml_files(spark, str(tmp_path))
+    meta = P.metadata_from_corpus(corpus, persist=False)
+    rows = {r.doc_id: r for r in meta.select("doc_id", "standard", "title").collect()}
+    assert set(rows) == {"fgdc_metadata", "iso_metadata", "arcgis_metadata"}
+    assert all(r.title == "Test Title" for r in rows.values())
+    assert {r.standard for r in rows.values()} == {"fgdc", "iso", "arcgis"}
+
+
+def test_ingest_xml_strings(spark):
+    from gmx import pipeline as P
+    from gmx.ingest import corpus_from_xml_strings
+
+    xml = open("/root/reference/gis_metadata/tests/data/fgdc_metadata.xml").read()
+    corpus = corpus_from_xml_strings(spark, [("d1", xml), ("d2", "<not-metadata/>")])
+    meta = P.extract_wide(P.with_document_text(corpus))
+    got = {r.doc_id: (r.standard, r.error) for r in meta.select("doc_id", "standard", "error").collect()}
+    assert got["d1"] == ("fgdc", "")
+    assert got["d2"][0] == "" and "invalid root" in got["d2"][1]
