@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_roundtrip_violations": Q.spans_roundtrip_violations,
         "media_refs_extract": Q.media_refs_extract,
         "events_windowed_counts": Q.events_windowed_counts,
+        "events_sliding_counts": Q.events_sliding_counts,
         "events_sessionize": Q.events_sessionize,
         # spatial layer (north rule)
         "spatial_tile_cover": Q.spatial_tile_cover,

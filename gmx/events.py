@@ -32,6 +32,24 @@ def windowed_event_counts(events: DataFrame, minutes: int = 5) -> DataFrame:
     )
 
 
+def sliding_event_counts(
+    events: DataFrame, minutes: int = 10, slide_minutes: int = 5
+) -> DataFrame:
+    """Sliding-window counts per event type: window() with a slide emits
+    one row per (event, covering window) — still a single partial-aggregated
+    hash agg, the fan-out (len/slide rows per event) happens map-side."""
+
+    w = F.window("ts", f"{minutes} minutes", f"{slide_minutes} minutes")
+    return events.groupBy(w.alias("w"), "event_type").agg(
+        F.count("*").alias("n"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    ).select(
+        F.unix_micros(F.col("w.start").cast("timestamp")).alias("window_start_us"),
+        "event_type", "n", "min_event_id", "max_event_id",
+    )
+
+
 def stream_windowed_event_counts(
     spark: SparkSession,
     events_dir: str,

@@ -197,6 +197,20 @@ SELECT (epoch_us(ts)//300000000)*300000000 AS window_start_us,
        min(event_id) AS min_event_id, max(event_id) AS max_event_id
 FROM events GROUP BY 1, 2"""
 
+    # 10-min windows sliding by 5: every event belongs to exactly the two
+    # windows starting at floor(t/5m)*5m and that minus 5m
+    o["events_sliding_counts"] = """
+WITH x AS (
+  SELECT (epoch_us(ts)//300000000)*300000000 AS w0, event_type, event_id
+  FROM events)
+SELECT ws AS window_start_us, event_type, count(*) AS n,
+       min(event_id) AS min_event_id, max(event_id) AS max_event_id
+FROM (
+  SELECT w0 AS ws, event_type, event_id FROM x
+  UNION ALL
+  SELECT w0 - 300000000 AS ws, event_type, event_id FROM x
+) GROUP BY 1, 2"""
+
     o["events_sessionize"] = """
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
 m AS (

@@ -210,6 +210,14 @@ def events_windowed_counts(spark, sf_dir):
     return windowed_event_counts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def events_sliding_counts(spark, sf_dir):
+    """Sliding-window aggregation (10-minute windows every 5 minutes): each
+    event lands in two windows; one map-side-combined hash agg."""
+    from gmx.events import sliding_event_counts
+
+    return sliding_event_counts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def events_sessionize(spark, sf_dir):
     """Gap-based sessionization (window functions; stateful streaming twin in
     gmx.events.sessionize_stateful)."""
