@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # spatial layer (north rule)
         "spatial_tile_cover": Q.spatial_tile_cover,
         "spatial_cell_histogram": Q.spatial_cell_histogram,
+        "spatial_place_keyword_cells": Q.spatial_place_keyword_cells,
         "spatial_bbox_overlap_join": Q.spatial_bbox_overlap_join,
         "spatial_point_in_bbox": Q.spatial_point_in_bbox,
         "spatial_knn": Q.spatial_knn,

@@ -276,6 +276,28 @@ SELECT did AS doc_id,
                        for ix in range({ix0}, ({ix1})+1)])) AS cell
 FROM ext"""
 
+    # gazetteer arithmetic mirrors gmx.geometry.gazetteer.place_gazetteer
+    # (half-degree units); keywords per doc: 'Place i%7' and 'Region i%5'
+    kx0, kx1 = _IX.format(v="kwh"), _IX.format(v="keh")
+    ky0, ky1 = _IY.format(v="ksh"), _IY.format(v="knh")
+    o["spatial_place_keyword_cells"] = f"""
+WITH kw AS (
+  SELECT printf('doc-%08d', doc_id) AS did,
+         'Place ' || (doc_id%7) AS keyword,
+         -320+(doc_id%7)*80 AS kwh, -160+(doc_id%7)*40 AS ksh,
+         -320+(doc_id%7)*80+40 AS keh, -160+(doc_id%7)*40+20 AS knh
+  FROM documents
+  UNION ALL
+  SELECT printf('doc-%08d', doc_id),
+         'Region ' || (doc_id%5),
+         -300+(doc_id%5)*120, -100+(doc_id%5)*40,
+         -300+(doc_id%5)*120+60, -100+(doc_id%5)*40+24
+  FROM documents)
+SELECT did AS doc_id, keyword,
+       UNNEST(flatten([[{_cell('ix', 'iy')} for iy in range({ky0}, ({ky1})+1)]
+                       for ix in range({kx0}, ({kx1})+1)])) AS cell
+FROM kw"""
+
     o["spatial_cell_histogram"] = f"""
 WITH {EXT}, cov AS (
   SELECT did,

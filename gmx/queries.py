@@ -318,6 +318,16 @@ def spatial_tile_cover(spark, sf_dir):
     return cover_cells(_extents(spark, sf_dir), level=TILE_Z).select("doc_id", "cell")
 
 
+def spatial_place_keyword_cells(spark, sf_dir):
+    """Place-keyword geometry (north star): keywords -> broadcast gazetteer
+    join -> cell covering; certifies keyword extraction + the join path."""
+    from gmx.geometry.gazetteer import place_gazetteer, place_keyword_cells
+
+    return place_keyword_cells(
+        cached_metadata(spark, sf_dir), place_gazetteer(spark), level=TILE_Z
+    )
+
+
 def spatial_cell_histogram(spark, sf_dir):
     """Hot-cell observability: docs per covering cell at the join level —
     the histogram the skew-tiering decisions (large-cap, salting) read;
