@@ -53,3 +53,52 @@ def ingest_available(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_xml_directory(spark: SparkSession, xml_dir: str) -> DataFrame:
+    """Streaming twin of gmx.ingest.corpus_from_xml_files: raw metadata XML
+    files arriving in a directory become span-corpus rows incrementally
+    (file-source streaming; each micro-batch picks up new files)."""
+
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("pathGlobFilter", "*.xml")
+        .load(xml_dir)
+    )
+    xml = F.decode(F.col("content"), "UTF-8")
+    return raw.select(
+        F.regexp_extract(
+            F.reverse(F.split(F.col("path"), "/"))[0], r"^(.*?)(?:\.[Xx][Mm][Ll])?$", 1
+        ).alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                xml.alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).cast(CORPUS_SCHEMA["spans"].dataType).alias("spans"),
+    )
+
+
+def ingest_xml_available(
+    spark: SparkSession,
+    xml_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain currently-available raw XML files -> extracted parquet table,
+    resuming from the stream checkpoint (incremental reference-input
+    ingest: drop files in, run again, only new files are processed)."""
+
+    meta = extract_stream(stream_xml_directory(spark, xml_dir))
+    q = (
+        meta.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -67,3 +67,27 @@ def test_streaming_incremental_ingest(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out_dir).count() == meta_total
     corpus.unpersist()
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_xml_directory_incremental(spark, tmp_path):
+    """Raw-XML streaming ingest is incremental: a second batch of files is
+    processed without reprocessing the first (checkpointed file source)."""
+    import shutil
+    from pathlib import Path
+    from gmx.streaming import ingest_xml_available
+
+    src = Path("/root/reference/gis_metadata/tests/data")
+    xml_dir = tmp_path / "in"; xml_dir.mkdir()
+    out = str(tmp_path / "out"); ckpt = str(tmp_path / "ckpt")
+
+    shutil.copy(src / "fgdc_metadata.xml", xml_dir / "a.xml")
+    ingest_xml_available(spark, str(xml_dir), out, ckpt)
+    first = spark.read.parquet(out)
+    assert {r.doc_id for r in first.select("doc_id").collect()} == {"a"}
+
+    shutil.copy(src / "iso_metadata.xml", xml_dir / "b.xml")
+    ingest_xml_available(spark, str(xml_dir), out, ckpt)
+    both = spark.read.parquet(out)
+    got = {r.doc_id: r.standard for r in both.select("doc_id", "standard").collect()}
+    assert got == {"a": "fgdc", "b": "iso"}
+    assert both.filter("title = 'Test Title'").count() == 2
