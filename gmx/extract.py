@@ -284,12 +284,21 @@ def empty_record() -> dict:
     return rec
 
 
-def extract_record(xml_text: str, catalog_lookup=None, props: set | None = None) -> dict:
+def extract_record(
+    xml_text: str,
+    catalog_lookup=None,
+    props: set | None = None,
+    specs: dict[str, StandardSpec] | None = None,
+) -> dict:
     """XML document -> wide record dict (plus ``standard`` and ``error``).
 
     ``catalog_lookup``: optional ``url -> catalog_xml`` callable used by
     single-node oracles; the Spark pipeline resolves catalogs with a join
     instead (gmx.pipeline) and leaves this None.
+
+    ``specs``: optional per-standard spec override — the extension surface
+    (specs.model.extend_spec): custom properties appear as extra record
+    keys with built-in fallback/default semantics.
 
     ``props``: optional property subset — projection pushdown INTO the
     Python stage.  Catalyst prunes columns down to the scan but cannot see
@@ -321,7 +330,7 @@ def extract_record(xml_text: str, catalog_lookup=None, props: set | None = None)
             rec["error"] = f"invalid root: {tree.tag}"
         return rec
 
-    spec = SPECS[standard]
+    spec = (specs or SPECS)[standard]
 
     for prop, chain in spec.simple.items():
         if need(prop):

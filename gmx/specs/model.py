@@ -176,6 +176,31 @@ class StandardSpec:
     extra_keywords: dict[str, Chain] = field(default_factory=dict)  # arcgis-only kinds
 
 
+def extend_spec(
+    base: StandardSpec,
+    *,
+    simple: dict[str, Chain] | None = None,
+    keywords: dict[str, Chain] | None = None,
+    complexes: dict[str, ComplexSpec] | None = None,
+) -> StandardSpec:
+    """Extension surface (SURVEY §2.6 X1/X2): a new spec with extra (or
+    overridden) property bindings — the engine-side equivalent of the
+    reference's parser subclassing (README.md:189-247, CustomFgdcParser /
+    CustomIsoParser in tests/tests.py:1380-1493).  No engine change: the
+    extraction kernel walks whatever spec it is given, so adding a property
+    is adding a dict entry.  Fallback chains, complex definitions, and
+    defaults behave exactly like built-in properties."""
+
+    from dataclasses import replace
+
+    return replace(
+        base,
+        simple={**base.simple, **(simple or {})},
+        keywords={**(base.keywords or {}), **(keywords or {})} if (base.keywords or keywords) else base.keywords,
+        complexes={**base.complexes, **(complexes or {})},
+    )
+
+
 def expand(aliases: dict[str, str]) -> dict[str, str]:
     """Expand ``{alias}`` placeholders within an alias table (self-referential,
     two passes — mirrors the reference's double format_xpaths application,

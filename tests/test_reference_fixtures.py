@@ -293,3 +293,47 @@ def test_attribute_family_prunes_together():
         rec = extract_record(xml, props=wanted)
         assert rec["attr_catalog_url"].startswith("http")
         assert rec["attributes_inline"] == _attrs("", 3)
+
+
+def test_spec_extension_custom_properties():
+    """Extension surface (SURVEY §2.6 X1/X2, mirroring CustomFgdcParser,
+    reference tests/tests.py:1380-1414): extending a spec with a new simple
+    property (primary + fallback chain) and a new complex struct requires no
+    engine change and inherits fallback/default semantics."""
+
+    from gmx.specs import SPECS
+    from gmx.specs.model import ComplexSpec, extend_spec
+
+    custom = dict(SPECS)
+    custom["fgdc"] = extend_spec(
+        SPECS["fgdc"],
+        simple={
+            # primary <publish/> is empty in the fixture -> falls back
+            "publisher_name": (
+                "idinfo/citation/citeinfo/pubinfo/publish",
+                "idinfo/citation/citeinfo/origin",
+            ),
+            "nonexistent_prop": ("idinfo/not/a/path",),
+        },
+        complexes={
+            "citation_info": ComplexSpec(
+                root="idinfo/citation/citeinfo",
+                subs={
+                    "origin": ("idinfo/citation/citeinfo/origin",),
+                    "title": ("idinfo/citation/citeinfo/title",),
+                },
+            )
+        },
+    )
+
+    xml = (DATA / "fgdc_metadata.xml").read_text()
+    rec = extract_record(xml, specs=custom)
+    assert rec["publisher_name"] == "Test Originators"  # fallback chain won
+    assert rec["nonexistent_prop"] == ""                # empty default
+    assert rec["citation_info"] == {"origin": "Test Originators", "title": "Test Title"}
+    # built-in properties are untouched
+    assert rec["title"] == "Test Title"
+    assert rec["bounding_box"] == GOLD["bounding_box"]
+    # other standards unaffected by the fgdc extension
+    iso = extract_record((DATA / "iso_metadata.xml").read_text(), specs=custom)
+    assert "publisher_name" not in iso
