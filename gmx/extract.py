@@ -298,7 +298,8 @@ def extract_record(
 
     ``specs``: optional per-standard spec override — the extension surface
     (specs.model.extend_spec): custom properties appear as extra record
-    keys with built-in fallback/default semantics.
+    keys with built-in fallback/default semantics.  May be partial:
+    standards not in the override use the built-in spec.
 
     ``props``: optional property subset — projection pushdown INTO the
     Python stage.  Catalyst prunes columns down to the scan but cannot see
@@ -330,7 +331,7 @@ def extract_record(
             rec["error"] = f"invalid root: {tree.tag}"
         return rec
 
-    spec = (specs or SPECS)[standard]
+    spec = SPECS[standard] if specs is None else {**SPECS, **specs}[standard]
 
     for prop, chain in spec.simple.items():
         if need(prop):

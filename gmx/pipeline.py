@@ -148,22 +148,39 @@ def _pruned_schema(props: set | None):
     return StructType([f for f in METADATA_SCHEMA.fields if f.name in keep])
 
 
-def extract_wide(docs_with_xml: DataFrame, props: set | None = None) -> DataFrame:
+def extract_wide(
+    docs_with_xml: DataFrame,
+    props: set | None = None,
+    specs: dict | None = None,
+    extra_schema=None,
+) -> DataFrame:
     """One Arrow pass: (doc_id, xml, media_refs) -> wide metadata rows.
 
     ``props`` prunes the projection INTO the Python stage (Catalyst cannot
     see through mapInPandas): only the requested properties are parsed and
-    only their columns cross Arrow back to the JVM."""
+    only their columns cross Arrow back to the JVM.
+
+    ``specs`` + ``extra_schema`` are the distributed extension surface
+    (SURVEY §2.6 X1/X2): pass per-standard spec overrides built with
+    specs.model.extend_spec and a list of StructFields (or a StructType)
+    typing the custom properties — their columns ride the same Arrow pass
+    as the built-ins."""
+
+    from pyspark.sql.types import StructType
 
     props = _expanded_props(props)
     schema = _pruned_schema(props)
+    if extra_schema is not None:
+        extra = extra_schema.fields if isinstance(extra_schema, StructType) else list(extra_schema)
+        existing = {f.name for f in schema.fields}
+        schema = StructType(schema.fields + [f for f in extra if f.name not in existing])
     out_fields = [f.name for f in schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = []
             for doc_id, xml, media in zip(pdf["doc_id"], pdf["xml"], pdf["media_refs"]):
-                rec = extract_record(xml, props=props)
+                rec = extract_record(xml, props=props, specs=specs)
                 rec["doc_id"] = doc_id
                 rec["media_refs"] = list(media) if media is not None else []
                 recs.append(rec)
@@ -241,7 +258,11 @@ def resolve_catalog_attributes(meta: DataFrame, catalogs: DataFrame) -> DataFram
 
 
 def metadata_from_corpus(
-    corpus: DataFrame, persist: bool = True, props: set | None = None
+    corpus: DataFrame,
+    persist: bool = True,
+    props: set | None = None,
+    specs: dict | None = None,
+    extra_schema=None,
 ) -> DataFrame:
     """EP1 from an existing span table (the production entry point — the
     corpus is an Iceberg table of ``(doc_id, spans)`` rows per
@@ -262,7 +283,7 @@ def metadata_from_corpus(
     docs = with_document_text(corpus)
     if persist:
         docs = docs.persist()
-    wide = extract_wide(docs, props=props)
+    wide = extract_wide(docs, props=props, specs=specs, extra_schema=extra_schema)
     meta = wide.filter(F.col("standard").isin(*METADATA_STANDARDS))
     if props is not None and "attributes" not in props:
         return meta

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gmx import pipeline
+from gmx.ingest import BINARY_FILE_SCHEMA, XML_GLOB, xml_files_to_spans
 from gmx.schema import CORPUS_SCHEMA
 
 
@@ -34,16 +35,23 @@ def extract_stream(corpus_stream: DataFrame) -> DataFrame:
     return wide.filter(F.col("standard").isin(*pipeline.METADATA_STANDARDS))
 
 
-def ingest_available(
-    spark: SparkSession,
-    corpus_dir: str,
-    out_dir: str,
-    checkpoint_dir: str,
-) -> None:
-    """Drain all currently-available corpus files into the extracted table,
-    resuming from the stream checkpoint; returns when caught up."""
+def stream_xml_directory(spark: SparkSession, xml_dir: str) -> DataFrame:
+    """Streaming twin of gmx.ingest.corpus_from_xml_files: raw metadata XML
+    files arriving in a directory become span-corpus rows incrementally
+    (file-source streaming; each micro-batch picks up new files).  Shares
+    the batch connector's glob and projection, so the same directory yields
+    the same corpus either way."""
 
-    meta = extract_stream(stream_corpus(spark, corpus_dir))
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", XML_GLOB)
+        .load(xml_dir)
+    )
+    return xml_files_to_spans(raw)
+
+
+def _drain_available(meta: DataFrame, out_dir: str, checkpoint_dir: str) -> None:
     q = (
         meta.writeStream.format("parquet")
         .option("path", out_dir)
@@ -55,31 +63,16 @@ def ingest_available(
     q.awaitTermination()
 
 
-def stream_xml_directory(spark: SparkSession, xml_dir: str) -> DataFrame:
-    """Streaming twin of gmx.ingest.corpus_from_xml_files: raw metadata XML
-    files arriving in a directory become span-corpus rows incrementally
-    (file-source streaming; each micro-batch picks up new files)."""
+def ingest_available(
+    spark: SparkSession,
+    corpus_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain all currently-available corpus files into the extracted table,
+    resuming from the stream checkpoint; returns when caught up."""
 
-    raw = (
-        spark.readStream.format("binaryFile")
-        .schema("path string, modificationTime timestamp, length long, content binary")
-        .option("pathGlobFilter", "*.xml")
-        .load(xml_dir)
-    )
-    xml = F.decode(F.col("content"), "UTF-8")
-    return raw.select(
-        F.regexp_extract(
-            F.reverse(F.split(F.col("path"), "/"))[0], r"^(.*?)(?:\.[Xx][Mm][Ll])?$", 1
-        ).alias("doc_id"),
-        F.array(
-            F.struct(
-                F.lit("text").alias("kind"),
-                xml.alias("text"),
-                F.lit("").alias("media_ref"),
-                F.lit(0).alias("offset"),
-            )
-        ).cast(CORPUS_SCHEMA["spans"].dataType).alias("spans"),
-    )
+    _drain_available(extract_stream(stream_corpus(spark, corpus_dir)), out_dir, checkpoint_dir)
 
 
 def ingest_xml_available(
@@ -92,13 +85,4 @@ def ingest_xml_available(
     resuming from the stream checkpoint (incremental reference-input
     ingest: drop files in, run again, only new files are processed)."""
 
-    meta = extract_stream(stream_xml_directory(spark, xml_dir))
-    q = (
-        meta.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    _drain_available(extract_stream(stream_xml_directory(spark, xml_dir)), out_dir, checkpoint_dir)

@@ -83,11 +83,11 @@ def test_streaming_xml_directory_incremental(spark, tmp_path):
     shutil.copy(src / "fgdc_metadata.xml", xml_dir / "a.xml")
     ingest_xml_available(spark, str(xml_dir), out, ckpt)
     first = spark.read.parquet(out)
-    assert {r.doc_id for r in first.select("doc_id").collect()} == {"a"}
+    assert {r.doc_id.rsplit("/", 1)[-1] for r in first.select("doc_id").collect()} == {"a"}
 
     shutil.copy(src / "iso_metadata.xml", xml_dir / "b.xml")
     ingest_xml_available(spark, str(xml_dir), out, ckpt)
     both = spark.read.parquet(out)
-    got = {r.doc_id: r.standard for r in both.select("doc_id", "standard").collect()}
+    got = {r.doc_id.rsplit("/", 1)[-1]: r.standard for r in both.select("doc_id", "standard").collect()}
     assert got == {"a": "fgdc", "b": "iso"}
     assert both.filter("title = 'Test Title'").count() == 2

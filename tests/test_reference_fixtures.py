@@ -337,3 +337,14 @@ def test_spec_extension_custom_properties():
     # other standards unaffected by the fgdc extension
     iso = extract_record((DATA / "iso_metadata.xml").read_text(), specs=custom)
     assert "publisher_name" not in iso
+
+
+def test_partial_specs_override_falls_back():
+    """A specs override may be partial: standards not in it use built-ins."""
+
+    from gmx.specs import SPECS
+    from gmx.specs.model import extend_spec
+
+    only_fgdc = {"fgdc": extend_spec(SPECS["fgdc"], simple={"x": ("idinfo/x",)})}
+    iso = extract_record((DATA / "iso_metadata.xml").read_text(), specs=only_fgdc)
+    assert iso["standard"] == "iso" and iso["title"] == "Test Title"

@@ -92,7 +92,8 @@ def test_ingest_reference_xml_directory(spark, tmp_path):
 
     corpus = corpus_from_xml_files(spark, str(tmp_path))
     meta = P.metadata_from_corpus(corpus, persist=False)
-    rows = {r.doc_id: r for r in meta.select("doc_id", "standard", "title").collect()}
+    rows = {r.doc_id.rsplit("/", 1)[-1]: r for r in meta.select("doc_id", "standard", "title").collect()}
+    # doc_id is the full path sans extension (collision-free); stems here
     assert set(rows) == {"fgdc_metadata", "iso_metadata", "arcgis_metadata"}
     assert all(r.title == "Test Title" for r in rows.values())
     assert {r.standard for r in rows.values()} == {"fgdc", "iso", "arcgis"}
@@ -108,3 +109,59 @@ def test_ingest_xml_strings(spark):
     got = {r.doc_id: (r.standard, r.error) for r in meta.select("doc_id", "standard", "error").collect()}
     assert got["d1"] == ("fgdc", "")
     assert got["d2"][0] == "" and "invalid root" in got["d2"][1]
+
+
+def test_ingest_encodings_and_case(spark, tmp_path):
+    """Ingest handles UTF-8 BOMs, declared latin-1, UTF-16 BOMs, and
+    case-insensitive .XML extensions — and path-based doc_ids keep
+    same-named files in different directories distinct."""
+    from pathlib import Path
+    from gmx import pipeline as P
+    from gmx.ingest import corpus_from_xml_files
+
+    base = Path("/root/reference/gis_metadata/tests/data/fgdc_metadata.xml").read_text()
+    (tmp_path / "bom.xml").write_bytes(b"\xef\xbb\xbf" + base.encode("utf-8"))
+    latin = base.replace("encoding='UTF-8'", "encoding='ISO-8859-1'").replace(
+        "Test Abstract", "Résumé")
+    assert "ISO-8859-1" in latin
+    (tmp_path / "latin.XML").write_bytes(latin.encode("iso-8859-1"))
+    (tmp_path / "utf16.xml").write_bytes(base.encode("utf-16"))  # with BOM
+    (tmp_path / "notes.txt").write_text("not xml")
+    sub = tmp_path / "sub"; sub.mkdir()
+    (sub / "bom.xml").write_bytes(base.encode("utf-8"))  # same stem, other dir
+
+    corpus = corpus_from_xml_files(spark, f"{tmp_path}/**")
+    meta = P.metadata_from_corpus(corpus, persist=False)
+    rows = {r.doc_id: r for r in meta.select("doc_id", "standard", "abstract").collect()}
+    stems = sorted(d.rsplit("/", 1)[-1] for d in rows)
+    assert stems == ["bom", "bom", "latin", "utf16"]  # .txt excluded; both boms kept
+    assert len(rows) == 4  # path-based ids: no collision
+    by_stem = {d.rsplit("/", 1)[-1]: r for d, r in rows.items()}
+    assert by_stem["latin"].abstract == "Résumé"
+    assert by_stem["utf16"].standard == "fgdc"
+    assert by_stem["bom"].standard == "fgdc"
+
+
+def test_distributed_custom_property(spark, tmp_path):
+    """Extension surface through the Spark engine: custom spec + extra
+    schema ride the same Arrow extraction pass."""
+    import shutil
+    from pathlib import Path
+    from pyspark.sql.types import StringType, StructField
+    from gmx import pipeline as P
+    from gmx.ingest import corpus_from_xml_files
+    from gmx.specs import SPECS
+    from gmx.specs.model import extend_spec
+
+    shutil.copy("/root/reference/gis_metadata/tests/data/fgdc_metadata.xml",
+                tmp_path / "d.xml")
+    custom = {"fgdc": extend_spec(SPECS["fgdc"], simple={"publisher_name": (
+        "idinfo/citation/citeinfo/pubinfo/publish", "idinfo/citation/citeinfo/origin")})}
+    meta = P.metadata_from_corpus(
+        corpus_from_xml_files(spark, str(tmp_path)),
+        persist=False,
+        specs=custom,
+        extra_schema=[StructField("publisher_name", StringType())],
+    )
+    row = meta.select("standard", "publisher_name").collect()[0]
+    assert (row.standard, row.publisher_name) == ("fgdc", "Test Originators")
