@@ -103,7 +103,12 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     new_session = F.when(
         F.col("ts_us") - F.lag("ts_us").over(by_user) > F.lit(gap_us), F.lit(1)
     ).otherwise(F.lit(0))
-    with_sess = base.withColumn("session_seq", F.sum(new_session).over(by_user))
+    # Explicit ROWS frame: Spark's default for an ordered window is RANGE
+    # (peers of the current row are included), which diverges from the
+    # oracle's ROWS UNBOUNDED PRECEDING whenever two events tie on the full
+    # (ts_us, event_id) ordering key.  Pin ROWS so both engines agree.
+    running = by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_sess = base.withColumn("session_seq", F.sum(new_session).over(running))
     return with_sess.groupBy("user_id", "session_seq").agg(
         F.count("*").alias("n_events"),
         F.min("ts_us").alias("start_us"),

@@ -245,7 +245,11 @@ def knn_points(
                 F.max("dist_sq").alias("kth_sq"),
                 F.first("bound_sq").alias("bound_sq"),
             )
-            .filter((F.col("cnt") >= k) & (F.col("kth_sq") <= F.col("bound_sq")))
+            # strict <: with kth_sq == bound_sq an unseen centroid could sit
+            # exactly ON the window edge with a smaller doc_id and win the
+            # (dist_sq, doc_id) tie-break — ties fall through to the next
+            # ring / exact fallback instead
+            .filter((F.col("cnt") >= k) & (F.col("kth_sq") < F.col("bound_sq")))
             .select("point_id")
         )
         results.append(cand.join(complete_ids, "point_id", "leftsemi").select(*out_cols))

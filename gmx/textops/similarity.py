@@ -200,6 +200,8 @@ def ann_ivf_topk(
 
     @F.pandas_udf("array<int>")
     def probe_lists(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch: np.stack would raise
+            return pd.Series([], dtype=object)
         V = np.stack(vecs.to_numpy()).astype(np.float64)
         Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
         order = np.argsort(-(Vn @ Cn.T), kind="stable", axis=1)[:, :nprobe]
