@@ -133,29 +133,63 @@ def minhash_pairs(
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", shingle: int = 3, threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via shingle inverted index:
-    explode shingles -> self-join on shingle -> count shared -> Jaccard.
-    The shuffle key is the shingle (long tail, naturally spread); stop-shingle
-    capping keeps hot shingles bounded."""
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle: int = 3,
+    threshold: float = 0.5,
+    df_cap: int = 10_000,
+) -> DataFrame:
+    """N-gram Jaccard near-dup pairs via a df-pruned shingle inverted index.
+
+    Candidate generation: explode shingles -> drop *stop shingles* (document
+    frequency > ``df_cap``) -> self-join on shingle.  The df prune bounds the
+    fan-out of any single shuffle key at ``df_cap`` rows, so one
+    corpus-frequent shingle can no longer make a key quadratic (standard
+    inverted-index pruning).  The hot-shingle set has at most
+    total_occurrences/df_cap entries — tiny — and rides a broadcast anti-join.
+
+    Verification is EXACT: the full (unpruned) shingle arrays ride the
+    explode, and each candidate pair's Jaccard is computed with
+    array_intersect over them — pruning can never produce a false positive or
+    a wrong score.  The only approximation is a missed pair whose *entire*
+    intersection is stop shingles; with Jaccard >= t a pair shares at least
+    t/(1+t)*(|A|+|B|) shingles, so this needs that many corpus-hot n-grams in
+    one document — document + cap choice make it negligible, and the planted
+    hot-shingle test pins the behavior."""
 
     sh = _shingles(text_col, shingle)
-    base = docs.select("doc_id", sh.alias("shingles")).withColumn("n_sh", F.size("shingles"))
-    inv = base.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    base = docs.select("doc_id", sh.alias("shingles"))
+    # df from a lean (shingle-only) projection so the count shuffle carries
+    # no arrays; distinct-per-doc shingles make count(*) the document freq
+    hot = (
+        base.select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    inv = (
+        base.select("doc_id", "shingles", F.explode("shingles").alias("shingle"))
+        .join(F.broadcast(hot), "shingle", "left_anti")
+    )
     a, b = inv.alias("a"), inv.alias("b")
-    shared = (
+    cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("a_id"),
             F.col("b.doc_id").alias("b_id"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
+            F.col("a.shingles").alias("sa"),
+            F.col("b.shingles").alias("sb"),
         )
-        .agg(F.count("*").alias("inter"))
+        .dropDuplicates(["a_id", "b_id"])
     )
-    jac = (F.col("inter") * 1000 / (F.col("na") + F.col("nb") - F.col("inter"))).cast("long")
-    return shared.select("a_id", "b_id", jac.alias("jaccard_per_mille")).filter(
-        F.col("jaccard_per_mille") >= int(threshold * 1000)
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    jac = (inter.cast("long") * 1000 / union).cast("long")
+    return (
+        cand.select("a_id", "b_id", jac.alias("jaccard_per_mille"))
+        .filter(F.col("jaccard_per_mille") >= int(threshold * 1000))
     )
 
 

@@ -71,69 +71,151 @@ def cosine_topk(
     )
 
 
+def _near_dup_predicate(threshold_hundredths: int):
+    """Exact integer cosine-threshold test on quantized vectors:
+    cos >= t/100  <=>  dot > 0  AND  100^2 * dot^2 >= t^2 * na * nb —
+    bit-identical between Spark and the DuckDB oracle."""
+
+    t2 = threshold_hundredths * threshold_hundredths
+    return (F.col("dot") > 0) & (
+        F.lit(10000).cast("long") * F.col("dot") * F.col("dot")
+        >= F.lit(t2).cast("long") * F.col("na") * F.col("nb")
+    )
+
+
 def embedding_near_dup(
     embeddings: DataFrame,
     threshold_hundredths: int = 35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    grid_blocks: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (a_id < b_id, cos >= t).
+    """EXACT embedding-cosine near-duplicate pairs (a_id < b_id, cos >= t),
+    as a grid-partitioned theta join (the 1-bucket scheme of Okcan &
+    Riedewald, SIGMOD'11): rows hash into ``grid_blocks`` blocks, each row is
+    replicated to its row/column of the upper-triangular block-pair grid, and
+    the comparison becomes an EQUI-join on (i, j) — every block pair is one
+    evenly-sized task, no cartesian join node, no skew, task memory bounded
+    by (n/blocks) rows.  Replication factor is (blocks+1)/2 per side; pick
+    blocks ~ sqrt(2 * cluster cores) to keep every core busy.
 
-    The threshold test is pure integer arithmetic on quantized vectors:
-      cos >= t/100  <=>  dot >= 0  AND  100^2 * dot^2 >= t^2 * na * nb
-    so both engines agree exactly.  Baseline is the all-pairs self-join
-    (fine at oracle scale); at corpus scale block with lsh_buckets first —
-    same predicate, candidates restricted to shared buckets."""
+    Honesty note on scale: a *low* threshold (0.35 here — the corpus'
+    qualifying pairs measure cos 0.35-0.51, i.e. random-direction tails, not
+    planted near-dups) makes the join inherently comparison-quadratic; no
+    blocking scheme has 100% recall below ~cos 0.8.  This grid path keeps the
+    exact semantics distributable at moderate n; for true near-dup thresholds
+    at corpus scale use :func:`embedding_near_dup_lsh` (sub-quadratic,
+    recall-characterized, identical verify predicate)."""
 
-    t2 = threshold_hundredths * threshold_hundredths
+    B = grid_blocks
     base = embeddings.select(
         F.col(id_col).alias("vid"), _quantized(F.col(vec_col)).alias("v")
-    ).withColumn("nrm", _dot(F.col("v"), F.col("v")))
+    ).withColumn("nrm", _dot(F.col("v"), F.col("v"))).withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("vid")), F.lit(B)).cast("int")
+    )
+    # a-side: block i owns its row of the grid (j >= i); b-side: column j (i <= j)
     a = base.select(
-        F.col("vid").alias("a_id"), F.col("v").alias("va"), F.col("nrm").alias("na")
+        F.col("vid").alias("a_id"), F.col("v").alias("va"), F.col("nrm").alias("na"),
+        F.col("blk").alias("i"), F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("j"),
     )
     b = base.select(
-        F.col("vid").alias("b_id"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+        F.col("vid").alias("b_id"), F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("i"), F.col("blk").alias("j"),
     )
-    dot = _dot(F.col("va"), F.col("vb"))
+    # off-diagonal block pairs see each doc pair exactly once (x from the
+    # smaller block on the a-side); diagonal blocks see both orders, so only
+    # there the id order filters
     pairs = (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .withColumn("dot", dot)
-        .filter(
-            (F.col("dot") > 0)
-            & (F.lit(10000).cast("long") * F.col("dot") * F.col("dot")
-               >= F.lit(t2).cast("long") * F.col("na") * F.col("nb"))
-        )
+        a.join(b, ["i", "j"])
+        .filter((F.col("i") < F.col("j")) | (F.col("a_id") < F.col("b_id")))
+        .withColumn("dot", _dot(F.col("va"), F.col("vb")))
+        .filter(_near_dup_predicate(threshold_hundredths))
     )
-    return pairs.select("a_id", "b_id")
+    return pairs.select(
+        F.least("a_id", "b_id").alias("a_id"), F.greatest("a_id", "b_id").alias("b_id")
+    )
+
+
+def embedding_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold_hundredths: int = 90,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 8,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs via multi-band hyperplane LSH blocking — the
+    sub-quadratic scale path: ``bands`` independent signatures of
+    ``band_bits`` sign bits each; docs sharing ANY band key become
+    candidates (equi-join on band key, corpus never self-compared), then the
+    same exact integer predicate verifies — so no false positives ever, and
+    scores/threshold semantics match :func:`embedding_near_dup` exactly.
+
+    Recall: a pair at cosine c agrees per plane with p = 1 - acos(c)/pi;
+    candidate probability = 1 - (1 - p^band_bits)^bands.  Defaults (8x8) give
+    ~0.999 at c=0.98, ~0.99 at c=0.95 — sized for true near-duplicates;
+    test_embedding_near_dup_lsh_equals_exact pins pair-set equality vs the
+    grid-exact path on planted near-dups."""
+
+    q = _quantized(F.col(vec_col))
+    base = embeddings.select(
+        F.col(id_col).alias("vid"), q.alias("v")
+    ).withColumn("nrm", _dot(F.col("v"), F.col("v")))
+    keys = _band_keys(F.col("v"), bands, band_bits)
+    exploded = base.select("vid", "v", "nrm", F.explode(keys).alias("band_key"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("a_id"), F.col("b.vid").alias("b_id"),
+            F.col("a.v").alias("va"), F.col("a.nrm").alias("na"),
+            F.col("b.v").alias("vb"), F.col("b.nrm").alias("nb"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return (
+        cand.withColumn("dot", _dot(F.col("va"), F.col("vb")))
+        .filter(_near_dup_predicate(threshold_hundredths))
+        .select("a_id", "b_id")
+    )
 
 
 def ann_lsh_topk(
     embeddings: DataFrame,
     k: int = 5,
     query_mod: int = 100,
-    planes: int = 8,
+    bands: int = 24,
+    band_bits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket —
-    the scale path that replaces the brute-force broadcast with an equi-join
-    on bucket.  Deterministic (fixed pseudo-random planes); recall vs the
-    exact cosine_topk is asserted in tests."""
+    """Approximate top-k via multi-band (OR-amplified) hyperplane LSH:
+    corpus and queries each explode into ``bands`` band keys; a neighbor is a
+    candidate when ANY band key matches (equi-join on key, candidate (qid,
+    nid) dedup, then exact scoring + window).  Versus a single signature this
+    raises recall from 1 - miss to 1 - miss^bands at the same join shape;
+    recall >= 0.9 vs the exact cosine_topk is asserted in tests.
+    Deterministic (fixed pseudo-random planes)."""
 
     from pyspark.sql import Window
 
-    buckets = lsh_buckets(embeddings, planes=planes, id_col=id_col, vec_col=vec_col)
     base = embeddings.select(
         F.col(id_col).alias("nid"), _quantized(F.col(vec_col)).alias("nvec")
     ).withColumn("nnorm", _dot(F.col("nvec"), F.col("nvec")))
-    base = base.join(buckets.withColumnRenamed("vec_id", "nid"), "nid")
+    idx = base.select(
+        "nid", "nvec", "nnorm",
+        F.explode(_band_keys(F.col("nvec"), bands, band_bits)).alias("band_key"),
+    )
 
     queries = (
-        base.filter(F.pmod(F.col("nid"), F.lit(query_mod)) == 0)
+        idx.filter(F.pmod(F.col("nid"), F.lit(query_mod)) == 0)
         .select(
             F.col("nid").alias("qid"), F.col("nvec").alias("qvec"),
-            F.col("nnorm").alias("qnorm"), F.col("bucket").alias("qbucket"),
+            F.col("nnorm").alias("qnorm"), F.col("band_key").alias("qkey"),
         )
     )
     score = _dot(F.col("qvec"), F.col("nvec")) / F.sqrt(
@@ -141,7 +223,8 @@ def ann_lsh_topk(
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
     return (
-        base.join(queries, (F.col("bucket") == F.col("qbucket")) & (F.col("qid") != F.col("nid")))
+        idx.join(queries, (F.col("band_key") == F.col("qkey")) & (F.col("qid") != F.col("nid")))
+        .dropDuplicates(["qid", "nid"])
         .select("qid", "nid", score.alias("score"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -231,29 +314,49 @@ def ann_ivf_topk(
     )
 
 
+def _plane_dot(qcol, p: int):
+    """Dot with pseudo-random +/-1 hyperplane p: component (p, dim) sign from
+    xxhash64(p, dim) parity — reproducible without shipping plane data; the
+    whole thing is one JVM aggregate over the quantized array."""
+
+    idx = F.sequence(F.lit(0), F.size(qcol) - 1)
+    return F.aggregate(
+        F.zip_with(
+            qcol,
+            idx,
+            lambda x, i: F.when(
+                F.pmod(F.xxhash64(F.lit(p), i), F.lit(2)) == 0, x
+            ).otherwise(-x),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _band_keys(qcol, bands: int, band_bits: int):
+    """Array of ``bands`` OR-amplified LSH keys over a quantized vector:
+    band b packs sign bits of planes [b*band_bits, (b+1)*band_bits) plus the
+    band index (so keys never collide across bands)."""
+
+    keys = []
+    for b in range(bands):
+        sig = F.lit(b).cast("long") * F.lit(1 << band_bits).cast("long")
+        for r in range(band_bits):
+            p = b * band_bits + r
+            sig = sig + F.when(
+                _plane_dot(qcol, p) > 0, F.lit(1 << r).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        keys.append(sig)
+    return F.array(*keys)
+
+
 def lsh_buckets(embeddings: DataFrame, planes: int = 16, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Random-hyperplane LSH signature: bit p = sign(dot(vec, plane_p)) with
-    plane components derived from a fixed hash of (p, dim) — reproducible
-    without shipping plane data.  Returns (vec_id, bucket)."""
+    """Random-hyperplane LSH signature: bit p = sign(dot(vec, plane_p)).
+    Returns (vec_id, bucket) — the single-band signature (AND-amplification
+    only); multi-band blocking composes these via :func:`_band_keys`."""
 
     q = _quantized(F.col(vec_col))
-    idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
-
-    def plane_dot(p: int):
-        # pseudo-random +/-1 plane from xxhash64(p, dim) parity
-        return F.aggregate(
-            F.zip_with(
-                q,
-                idx,
-                lambda x, i: F.when(
-                    F.pmod(F.xxhash64(F.lit(p), i), F.lit(2)) == 0, x
-                ).otherwise(-x),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
     bucket = F.lit(0).cast("long")
     for p in range(planes):
-        bucket = bucket + F.when(plane_dot(p) > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket + F.when(_plane_dot(q, p) > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
     return embeddings.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
