@@ -7,8 +7,8 @@
               gmx.queries docstrings).
 ``oracle_sql`` — DuckDB SQL recomputing expected outputs from corpus
               arithmetic (gmx.oracles); omitted only for hash-based ops the
-              oracle engine cannot reproduce (xxhash64/crc32-based
-              fingerprint, minhash, simhash) — those get rows-only checks.
+              oracle engine cannot reproduce (xxhash64-based minhash, simhash) —
+              those get rows-only checks.
 """
 
 from __future__ import annotations
@@ -77,8 +77,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": Q.dedup_ngram_jaccard,
         "ann_cosine_topk": Q.ann_cosine_topk,
         "dedup_embedding_cosine": Q.dedup_embedding_cosine,
-        # rows-only (hash/codec outputs not reproducible in the oracle engine)
         "text_fingerprint": Q.text_fingerprint,
+        # rows-only (hash/codec outputs not reproducible in the oracle engine)
         "dedup_minhash_lsh": Q.dedup_minhash_lsh,
         "dedup_simhash": Q.dedup_simhash,
         "media_decode_stub": Q.media_decode_stub,

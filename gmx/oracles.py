@@ -379,6 +379,19 @@ SELECT doc_id,
             ELSE 'fr' END AS lang_guess
 FROM best"""
 
+    # polynomial rolling hash over unicode codepoints, base 1000003 mod 2^40 —
+    # pure integer arithmetic, so it reproduces the Spark aggregate exactly
+    o["text_fingerprint"] = """
+SELECT doc_id,
+       CASE WHEN length(text) = 0 THEN 0
+            ELSE list_reduce(
+              list_prepend(0::BIGINT,
+                list_transform(regexp_split_to_array(text, ''),
+                               c -> unicode(c)::BIGINT)),
+              (acc, x) -> (acc * 1000003 + x) % 1099511627776)
+       END AS fingerprint
+FROM documents"""
+
     o["dedup_ngram_jaccard"] = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
 s AS (

@@ -66,15 +66,22 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def rolling_fingerprint(docs: DataFrame, text_col: str = "text", mod: int = 1 << 40) -> DataFrame:
-    """Order-sensitive document fingerprint: polynomial rolling hash over
-    token crc32s, folded with aggregate() — a deterministic cheap content id
-    (distinct from md5: stable under our own definition, shardable).
-    ``mod`` is capped so acc*base + crc32 never overflows int64 (ANSI mode)."""
+    """Order-sensitive document fingerprint: polynomial rolling hash over the
+    text's unicode codepoints (fp = sum cp_i * B^(n-i) mod 2^40), folded with
+    aggregate() — a deterministic cheap content id (distinct from md5:
+    stable under our own definition, shardable).  Codepoint arithmetic (not
+    crc32/xxhash64) so the DuckDB oracle reproduces it exactly and this is a
+    fully hash-gated query.  ``mod`` is capped so acc*base + cp never
+    overflows int64 (ANSI mode)."""
 
-    toks = F.split(F.col(text_col), " ")
+    chars = F.split(F.col(text_col), "")
     fp = F.aggregate(
-        toks,
+        chars,
         F.lit(0).cast("long"),
-        lambda acc, t: F.pmod(acc * F.lit(1000003).cast("long") + F.crc32(t).cast("long"), F.lit(mod).cast("long")),
+        lambda acc, c: F.pmod(
+            acc * F.lit(1000003).cast("long") + F.coalesce(F.ascii(c).cast("long"), F.lit(0)),
+            F.lit(mod).cast("long"),
+        ),
     )
+    fp = F.when(F.length(text_col) == 0, F.lit(0).cast("long")).otherwise(fp)
     return docs.select("doc_id", fp.alias("fingerprint"))
