@@ -39,13 +39,27 @@ def extents_df(meta: DataFrame, split_antimeridian: bool = True) -> DataFrame:
     if not split_antimeridian:
         return e.filter(F.col("west") <= F.col("east"))
 
-    # west>east crosses the antimeridian: split into [west,180] and [-180,east]
+    # west>east crosses the antimeridian: split into [west,180] (part 0) and
+    # [-180,east] (part 1).  ``split`` marks both rows of a crossing box so
+    # pair-emitting joins can dedup pairs a counterpart reaches via BOTH
+    # parts; non-crossing rows are part 0, split=false.
     crossing = F.col("west") > F.col("east")
-    whole = e.filter(~crossing)
-    left = e.filter(crossing).withColumn("east", F.lit(180.0))
+    whole = (
+        e.filter(~crossing)
+        .withColumn("part", F.lit(0))
+        .withColumn("split", F.lit(False))
+    )
+    left = (
+        e.filter(crossing)
+        .withColumn("east", F.lit(180.0))
+        .withColumn("part", F.lit(0))
+        .withColumn("split", F.lit(True))
+    )
     right = (
         e.filter(crossing)
         .withColumn("west", F.lit(-180.0))
+        .withColumn("part", F.lit(1))
+        .withColumn("split", F.lit(True))
     )
     return whole.unionByName(left).unionByName(right)
 

@@ -45,14 +45,27 @@ DEFAULT_LARGE_CAP = 64  # coverings above this many cells go to the broadcast ti
 
 def _with_tier(extents: DataFrame, level: int, large_cap: int) -> DataFrame:
     size = covering_size_expr(F.col("west"), F.col("south"), F.col("east"), F.col("north"), level)
-    return extents.withColumn("n_cells", size).withColumn("is_large", F.col("n_cells") > large_cap)
+    e = extents
+    if "split" not in e.columns:  # extents not built by extents_df carry no parts
+        e = e.withColumn("split", F.lit(False))
+    # antimeridian-crossing boxes (split parts) always ride the broadcast
+    # tier: they are as rare as whole-world boxes, and keeping them out of
+    # the exploded index means the reference-point dedup never sees a doc
+    # twice — cross-tier duplicate pairs become impossible
+    return e.withColumn("n_cells", size).withColumn(
+        "is_large", (F.col("n_cells") > large_cap) | F.col("split")
+    )
 
 
 def cover_cells(extents: DataFrame, level: int = DEFAULT_LEVEL) -> DataFrame:
-    """Exploded (cell, doc) covering index — the tile-assignment operator."""
+    """Exploded (cell, doc) covering index — the tile-assignment operator.
+    ``part``/``split`` columns (antimeridian parts from extents_df) pass
+    through when present; the two parts of a crossing box cover disjoint
+    longitude ranges, so a (doc, cell) row never duplicates."""
 
+    extra = [c for c in ("part", "split") if c in extents.columns]
     return extents.select(
-        "doc_id", "west", "south", "east", "north",
+        "doc_id", "west", "south", "east", "north", *extra,
         F.explode(
             covering_expr(F.col("west"), F.col("south"), F.col("east"), F.col("north"), level)
         ).alias("cell"),
@@ -81,7 +94,9 @@ def bbox_overlap_pairs(
 
     ext = _with_tier(extents, level, large_cap)
     small = ext.filter(~F.col("is_large"))
-    large = ext.filter(F.col("is_large")).select("doc_id", "west", "south", "east", "north")
+    large = ext.filter(F.col("is_large")).select(
+        "doc_id", "west", "south", "east", "north", "split"
+    )
 
     idx = cover_cells(small, level)
     a, b = idx.alias("a"), idx.alias("b")
@@ -99,9 +114,9 @@ def bbox_overlap_pairs(
     )
 
     # broadcast the (tiny) LARGE tier; the full extent stream stays distributed
-    other = ext.select("doc_id", "west", "south", "east", "north", "is_large").alias("o")
+    other = ext.select("doc_id", "west", "south", "east", "north", "is_large", "split").alias("o")
     l = large.alias("l")
-    large_pairs = (
+    lp_raw = (
         other.join(
             F.broadcast(l),
             _overlap("l", "o")
@@ -111,7 +126,14 @@ def bbox_overlap_pairs(
         .select(
             F.least("l.doc_id", "o.doc_id").alias("a_id"),
             F.greatest("l.doc_id", "o.doc_id").alias("b_id"),
+            (F.col("l.split") | F.col("o.split")).alias("any_split"),
         )
+    )
+    # a counterpart overlapping BOTH parts of a crossing box (or two crossing
+    # boxes meeting part-to-part) yields the pair once per part combo; dedup
+    # only that split-involved sliver — non-split large pairs stay dedup-free
+    large_pairs = lp_raw.filter(~F.col("any_split")).select("a_id", "b_id").unionByName(
+        lp_raw.filter(F.col("any_split")).dropDuplicates(["a_id", "b_id"]).select("a_id", "b_id")
     )
 
     return small_pairs.unionByName(large_pairs)
@@ -182,7 +204,11 @@ def knn_points(
     """
 
     n = nx(level)
-    cents = extents.select(
+    # one centroid per doc: an antimeridian-crossing box is represented by
+    # its eastern-hemisphere part (part 0, [west,180]) — deterministic and
+    # single-rowed, so a doc can never appear twice in one point's top-k
+    base_ext = extents.filter(F.col("part") == 0) if "part" in extents.columns else extents
+    cents = base_ext.select(
         "doc_id",
         ((F.col("west") + F.col("east")) / 2).alias("cx"),
         ((F.col("south") + F.col("north")) / 2).alias("cy"),
@@ -302,7 +328,9 @@ def tile_extent_join(
 
     ext = _with_tier(extents, level, large_cap)
     small = ext.filter(~F.col("is_large"))
-    large = ext.filter(F.col("is_large")).select("doc_id", "west", "south", "east", "north")
+    large = ext.filter(F.col("is_large")).select(
+        "doc_id", "west", "south", "east", "north", "split"
+    )
 
     idx = cover_cells(small, level).alias("d")
     t = tbox.withColumn(
@@ -321,9 +349,14 @@ def tile_extent_join(
         )
         .select("tile_id", "doc_id")
     )
-    large_hits = (
+    lh_raw = (
         tbox.alias("t")
         .join(F.broadcast(large.alias("d")), _overlap("t", "d"))
-        .select("tile_id", "doc_id")
+        .select("tile_id", "doc_id", "split")
+    )
+    # a tile can overlap both parts of an antimeridian-crossing box; dedup
+    # only the split sliver
+    large_hits = lh_raw.filter(~F.col("split")).select("tile_id", "doc_id").unionByName(
+        lh_raw.filter(F.col("split")).dropDuplicates(["tile_id", "doc_id"]).select("tile_id", "doc_id")
     )
     return small_hits.unionByName(large_hits)

@@ -101,6 +101,65 @@ def test_tile_join_exact(spark, extents, boxes):
     assert got == want
 
 
+def test_antimeridian_crossing_boxes(spark):
+    """A west>east box splits into flagged parts; pair-emitting joins must
+    yield each (a, b) exactly once even when a counterpart overlaps BOTH
+    parts (the duplicate hazard the split introduces)."""
+
+    boxes = {
+        "band": (-180.0, -20.0, 180.0, 20.0),   # overlaps both parts of cross
+        "cross": (170.0, -10.0, -170.0, 10.0),  # antimeridian-crossing
+        "east": (175.0, -5.0, 179.0, 5.0),      # overlaps part 0 only
+        "far": (0.0, 40.0, 10.0, 50.0),         # no overlap with cross
+        "west2": (-179.0, -5.0, -175.0, 5.0),   # overlaps part 1 only
+    }
+    meta = spark.createDataFrame(
+        [(d, "iso", tuple(str(v) for v in b)) for d, b in boxes.items()],
+        "doc_id string, standard string, "
+        "bounding_box struct<west:string,south:string,east:string,north:string>",
+    )
+    ext = extents_df(meta)
+
+    parts = sorted(
+        (r.part, r.west, r.east) for r in ext.filter("doc_id = 'cross'").collect()
+    )
+    assert parts == [(0, 170.0, 180.0), (1, -180.0, -170.0)]
+    assert all(r.split for r in ext.filter("doc_id = 'cross'").collect())
+
+    def lon_parts(w, e):
+        return [(w, e)] if w <= e else [(w, 180.0), (-180.0, e)]
+
+    def olap(a, b):
+        lon = any(
+            pw <= qe and qw <= pe
+            for pw, pe in lon_parts(a[0], a[2])
+            for qw, qe in lon_parts(b[0], b[2])
+        )
+        return lon and a[1] <= b[3] and b[1] <= a[3]
+
+    want = {
+        (x, y)
+        for x, y in itertools.combinations(sorted(boxes), 2)
+        if olap(boxes[x], boxes[y])
+    }
+    got = [(r.a_id, r.b_id) for r in bbox_overlap_pairs(ext).collect()]
+    assert len(got) == len(set(got)), "duplicate pairs emitted"
+    assert set(got) == want
+
+    # whole-world tile overlaps every box (and both parts of cross): each
+    # (tile, doc) pair exactly once
+    tdf = spark.createDataFrame([("t0-0-0", 0, 0, 0)], "tile_id string, z int, x int, y int")
+    tj = [(r.tile_id, r.doc_id) for r in tile_extent_join(tdf, ext).collect()]
+    assert sorted(tj) == sorted({("t0-0-0", d) for d in boxes})
+
+    # kNN: the split doc appears at most once per point (part-0 centroid)
+    pdf = spark.createDataFrame(
+        [(1, 179.0, 0.0), (2, -179.0, 0.0)], "point_id long, lon double, lat double"
+    )
+    res = knn_points(pdf, ext, k=3).collect()
+    assert len(res) == len({(r.point_id, r.doc_id) for r in res}) == 6
+
+
 def test_cover_cells_match_oracle(extents, boxes):
     import math
 
