@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convert_to_arcgis": Q.convert_to_arcgis,
         "validate_quarantine": Q.validate_quarantine,
         "spans_roundtrip_violations": Q.spans_roundtrip_violations,
+        "update_preserve_violations": Q.update_preserve_violations,
         "media_refs_extract": Q.media_refs_extract,
         "events_windowed_counts": Q.events_windowed_counts,
         "events_sliding_counts": Q.events_sliding_counts,

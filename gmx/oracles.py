@@ -263,6 +263,9 @@ FROM ext"""
     o["spans_roundtrip_violations"] = """
 SELECT printf('doc-%08d', doc_id) AS doc_id FROM documents WHERE 1=0"""
 
+    o["update_preserve_violations"] = """
+SELECT printf('doc-%08d', doc_id) AS doc_id FROM documents WHERE 1=0"""
+
     o["validate_quarantine"] = """
 SELECT printf('doc-%08d', doc_id) AS doc_id, '' AS property, '' AS rule
 FROM documents WHERE 1=0"""

@@ -297,6 +297,68 @@ def spans_roundtrip_violations(spark, sf_dir):
     return joined.filter(F.col("spans") != F.col("orig_spans")).select("doc_id")
 
 
+def update_preserve_violations(spark, sf_dir):
+    """U1 in-place preservation gate: plant an unmanaged element into every
+    corpus document, bump each title IN PLACE (gmx.update), re-extract, and
+    return docs where (a) the new title didn't stick, (b) any other managed
+    property drifted, or (c) the planted unmanaged element was dropped.
+    Empty when the in-place updater is correct (reference round-trip
+    semantics, utils.py:370-522 / tests/tests.py:230-339)."""
+
+    from gmx import pipeline
+    from gmx.schema import CORPUS_SCHEMA
+    from gmx.update import update_corpus_df
+
+    corpus = pipeline.corpus_df(spark, sf_dir)
+    mark = F.concat(F.lit("<unmanagedMark>um-"), F.col("doc_id"), F.lit("</unmanagedMark>"))
+    planted = corpus.select(
+        "doc_id",
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                F.regexp_replace(
+                    s["text"],
+                    F.lit(r"</(MD_Metadata|metadata)>$"),
+                    F.concat(mark, F.lit("</$1>")),
+                ).alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ).cast(CORPUS_SCHEMA["spans"].dataType).alias("spans"),
+    ).persist()
+
+    meta = pipeline.metadata_from_corpus(planted).persist()
+    mutated = meta.withColumn("title", F.concat("title", F.lit(" v2")))
+    updated = update_corpus_df(planted, mutated).persist()
+    meta2 = pipeline.metadata_from_corpus(updated)
+
+    compare = [
+        "abstract", "purpose", "publish_date", "use_constraints", "dist_email",
+        "dist_address_type", "processing_fees", "bounding_box", "dates",
+        "place_keywords", "thematic_keywords", "stratum_keywords",
+        "temporal_keywords", "contacts", "digital_forms", "process_steps",
+        "larger_works", "raster_info", "attributes", "attributes_inline",
+        "attr_catalog_url", "media_refs",
+    ]
+    fp = lambda side: F.to_json(F.struct(*[F.col(f"{side}.{c}") for c in compare]))
+
+    marks = pipeline.with_document_text(updated).select(
+        "doc_id", F.col("xml").contains(mark).alias("has_mark")
+    )
+    j = (
+        meta.alias("m0")
+        .join(meta2.alias("m1"), "doc_id")
+        .join(marks, "doc_id")
+    )
+    bad = (
+        (F.col("m1.title") != F.concat(F.col("m0.title"), F.lit(" v2")))
+        | ~F.col("has_mark")
+        | (fp("m0") != fp("m1"))
+    )
+    return j.filter(bad).select("doc_id")
+
+
 def validate_quarantine(spark, sf_dir):
     """Q3-Q8 quarantine: corpus rows violating validation rules (none in the
     synthetic corpus; rule behavior is covered by tests/test_validate_convert)."""

@@ -219,6 +219,16 @@ def build_tree(rec: dict, standard: str) -> ET.Element:
     if standard == "arcgis":
         ensure(root, "dataIdInfo")  # probe node so dispatch resolves to ArcGIS
 
+    write_into(root, rec, spec)
+    return root
+
+
+def write_into(root: ET.Element, rec: dict, spec) -> None:
+    """Write every managed property of ``rec`` into ``root`` (shared by the
+    regeneration path and the in-place updater in gmx.update, which clears
+    managed locations first)."""
+
+    standard = spec.name
     for prop, chain in spec.simple.items():
         if spec.report_items and prop in spec.report_items:
             continue
@@ -249,8 +259,6 @@ def build_tree(rec: dict, standard: str) -> ET.Element:
 
     if standard == "iso" and rec.get("attr_catalog_url"):
         _write_scalar(root, spec.attr_catalog_url[0], rec["attr_catalog_url"])
-
-    return root
 
 
 def serialize_sections(rec: dict, standard: str) -> list[str]:
