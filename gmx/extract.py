@@ -369,6 +369,11 @@ def extract_record(
             (p, v) for p, v in _parse_report_items(tree, spec).items() if need(p)
         )
 
+    # X1 callable bindings run last so they may post-process built-in values
+    for prop, cp in (spec.callables or {}).items():
+        if need(prop):
+            rec[prop] = cp.parse_fn(tree, spec)
+
     rec["attributes_inline"] = list(rec["attributes"])
 
     if standard == "iso" and need("attributes"):

@@ -212,8 +212,8 @@ def _write_report_items(root: ET.Element, spec, rec: dict) -> None:
             append_at(el, r.child, text=v)
 
 
-def build_tree(rec: dict, standard: str) -> ET.Element:
-    spec = SPECS[standard]
+def build_tree(rec: dict, standard: str, specs: dict | None = None) -> ET.Element:
+    spec = (SPECS if specs is None else {**SPECS, **specs})[standard]
     root = ET.Element(ROOT_TAGS[standard])
 
     if standard == "arcgis":
@@ -260,13 +260,33 @@ def write_into(root: ET.Element, rec: dict, spec) -> None:
     if standard == "iso" and rec.get("attr_catalog_url"):
         _write_scalar(root, spec.attr_catalog_url[0], rec["attr_catalog_url"])
 
+    # X2 custom complexes (extend_spec additions beyond the built-in names)
+    # write generically — extraction already parses them generically
+    builtin_complex = {
+        "bounding_box", "larger_works", "contacts", "attributes",
+        "digital_forms", "process_steps", "raster_info",
+    }
+    for prop, cspec in spec.complexes.items():
+        if prop in builtin_complex:
+            continue
+        if cspec.is_list:
+            _write_struct_list(root, cspec, prop, rec.get(prop))
+        else:
+            _write_struct(root, cspec, prop, rec.get(prop))
 
-def serialize_sections(rec: dict, standard: str) -> list[str]:
+    # X1 callable bindings: each write_fn owns removal of its locations,
+    # so this is correct for both regeneration and in-place update
+    for prop, cp in (spec.callables or {}).items():
+        if cp.write_fn is not None:
+            cp.write_fn(root, rec.get(prop), spec)
+
+
+def serialize_sections(rec: dict, standard: str, specs: dict | None = None) -> list[str]:
     """Document split at top-level section boundaries: section i is the XML of
     the i-th top-level element; the first is prefixed with the root open tag
     and the last suffixed with the close tag (span contract, FIXTURES.md §1)."""
 
-    root = build_tree(rec, standard)
+    root = build_tree(rec, standard, specs)
     tag = root.tag
     kids = list(root)
     if not kids:
@@ -277,8 +297,8 @@ def serialize_sections(rec: dict, standard: str) -> list[str]:
     return parts
 
 
-def serialize(rec: dict, standard: str) -> str:
-    return "".join(serialize_sections(rec, standard))
+def serialize(rec: dict, standard: str, specs: dict | None = None) -> str:
+    return "".join(serialize_sections(rec, standard, specs))
 
 
 def serialize_catalog(attributes: list[dict]) -> str:

@@ -159,6 +159,25 @@ class RasterDimsSpec:
 
 
 @dataclass(frozen=True)
+class CallableProp:
+    """X1 callable property binding — the engine-side ParserProperty
+    (reference utils.py:713-761, used e.g. fgdc_metadata_parser.py:215-229):
+    a property whose parse/update logic is arbitrary code, not a declarative
+    chain.
+
+    ``parse_fn(tree, spec) -> value`` runs inside the extraction kernel after
+    the declarative phases (so it may post-process built-in locations).
+    ``write_fn(root, value, spec) -> None`` runs at the end of every write
+    pass (regeneration AND in-place update); like a reference setter it OWNS
+    removal of its managed locations before inserting — the engine does not
+    know them.  Both callables ride the Arrow ``mapInPandas`` closure to
+    executors, so custom properties are fully distributed."""
+
+    parse_fn: object
+    write_fn: object | None = None
+
+
+@dataclass(frozen=True)
 class StandardSpec:
     name: str
     roots: tuple[str, ...]
@@ -174,6 +193,7 @@ class StandardSpec:
     iso_content_split: bool = False               # split spec/content on sentinel
     attr_catalog_url: Chain = ()                  # remote ISO-19110 catalog ref
     extra_keywords: dict[str, Chain] = field(default_factory=dict)  # arcgis-only kinds
+    callables: dict[str, CallableProp] = field(default_factory=dict)  # X1 bindings
 
 
 def extend_spec(
@@ -182,6 +202,7 @@ def extend_spec(
     simple: dict[str, Chain] | None = None,
     keywords: dict[str, Chain] | None = None,
     complexes: dict[str, ComplexSpec] | None = None,
+    callables: dict[str, CallableProp] | None = None,
 ) -> StandardSpec:
     """Extension surface (SURVEY §2.6 X1/X2): a new spec with extra (or
     overridden) property bindings — the engine-side equivalent of the
@@ -198,6 +219,7 @@ def extend_spec(
         simple={**base.simple, **(simple or {})},
         keywords={**(base.keywords or {}), **(keywords or {})} if (base.keywords or keywords) else base.keywords,
         complexes={**base.complexes, **(complexes or {})},
+        callables={**base.callables, **(callables or {})},
     )
 
 

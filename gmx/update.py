@@ -119,19 +119,25 @@ def clear_managed(root: ET.Element, spec) -> None:
     _remove_chain(root, spec.attr_catalog_url)
 
 
-def update_tree(root: ET.Element, rec: dict, standard: str | None = None) -> ET.Element:
+def update_tree(
+    root: ET.Element, rec: dict, standard: str | None = None, specs: dict | None = None
+) -> ET.Element:
     """Clear managed locations, then write ``rec`` at the primaries —
-    everything the spec does not manage survives in place."""
+    everything the spec does not manage survives in place.  ``specs``: the
+    same per-standard override surface as extract_record (custom X1/X2
+    properties update in place too — their write_fn owns removal)."""
 
-    spec = SPECS[standard or rec["standard"]]
+    spec = (SPECS if specs is None else {**SPECS, **specs})[standard or rec["standard"]]
     clear_managed(root, spec)
     write_into(root, rec, spec)
     return root
 
 
-def update_document(xml: str, rec: dict, standard: str | None = None) -> str:
+def update_document(
+    xml: str, rec: dict, standard: str | None = None, specs: dict | None = None
+) -> str:
     root = parse_xml(xml)
-    update_tree(root, rec, standard)
+    update_tree(root, rec, standard, specs)
     return to_string(root)
 
 

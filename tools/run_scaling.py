@@ -37,16 +37,25 @@ def main() -> None:
 
     # The sandbox host carries a variable external load; a single run per
     # leg can land on a load spike and misstate either side.  Interleave
-    # GMX_SCALING_REPS runs per leg and keep each leg's best (least
-    # load-contaminated) run — both legs get equal exposure to the noise.
-    reps = int(os.environ.get("GMX_SCALING_REPS", "2"))
+    # GMX_SCALING_REPS runs per leg and take each leg's MEDIAN run (best-of-N
+    # would bias the pass/fail gate toward passing under noise, since the two
+    # minima need not come from comparable load windows); the full
+    # distribution is printed so the spread is visible.
+    reps = int(os.environ.get("GMX_SCALING_REPS", "3"))
     split_size = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m")
     runs_low, runs_high = [], []
     for _ in range(reps):
         runs_low.append(run_bench(low))
         runs_high.append(run_bench(high))
-    r_low = min(runs_low, key=lambda r: r["value"])
-    r_high = min(runs_high, key=lambda r: r["value"])
+
+    def median_run(runs: list[dict]) -> dict:
+        ordered = sorted(runs, key=lambda r: r["value"])
+        return ordered[(len(ordered) - 1) // 2]  # lower-middle for even N
+
+    r_low = median_run(runs_low)
+    r_high = median_run(runs_high)
+    dist_low = [round(r["value"], 1) for r in runs_low]
+    dist_high = [round(r["value"], 1) for r in runs_high]
 
     thr_low = r_low["docs"] / r_low["value"]
     thr_high = r_high["docs"] / r_high["value"]
@@ -66,9 +75,19 @@ two parallelism levels — the sandbox evidence for the north rule's N vs 4N
 executor scaling gate; no real cluster is available here).
 
 Input: `{os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")}`,
-corpus scale x{r_low.get("scale")} = {r_low["docs"]} documents
-(span synthesis -> reassembly -> dispatch -> Arrow extraction -> catalog
-join -> cell index -> spatial joins -> dedup -> ANN).
+corpus scale x{r_low.get("scale")} = {r_low["docs"]} documents.
+
+Measured scope (what the timed pipeline actually covers): scan of the
+PRE-MATERIALIZED span-corpus parquet (synthesis is untimed scaffolding — in
+production the corpus is an existing Iceberg table) -> text reassembly ->
+dispatch -> Arrow extraction PRUNED to the bounding_box property (the
+spatial pipeline consumes nothing else; the projection pushdown also prunes
+the catalog join out of the plan) -> cell index -> bbox-overlap / PIP / kNN
+/ tile joins.  Auxiliary dedup/ANN queries are timed separately and excluded
+from the headline.  NOTE: round-0 numbers timed synthesis + full-property
+extraction + catalog join, so round-over-round throughput deltas across that
+boundary partly reflect reduced measured scope, not engine speedup — compare
+within a round's scope only.
 
 | metric | local[{low}] (N) | local[{high}] ({factor:.0f}N) |
 |---|---|---|
@@ -94,8 +113,9 @@ identical materialized corpus (fixed 64-file layout; split size
 above 1 is possible: fixed driver/JIT/scheduling overheads amortize better
 at higher parallelism, and the shared sandbox host carries external load
 noise; the honest claim is "no parallelism bottleneck up to
-{factor:.0f}N", not super-linearity.  Each leg is the best of {reps}
-interleaved runs (equal noise exposure both sides).
+{factor:.0f}N", not super-linearity.  Each leg is the MEDIAN of {reps}
+interleaved runs (equal noise exposure both sides); pipeline wall-time
+distributions: local[{low}] {dist_low} s, local[{high}] {dist_high} s.
 
 Parallelism-level choice: the 32-CPU sandbox host carries a variable
 external load (loadavg 8-15 with nothing of ours running), so comparisons
@@ -108,6 +128,7 @@ capacity; the driver instruction permits any N vs 4N core pair.
         "low_cpus": low, "high_cpus": high,
         "thr_low": round(thr_low, 1), "thr_high": round(thr_high, 1),
         "efficiency": round(eff, 3), "extract_efficiency": round(ex_eff, 3),
+        "dist_low_sec": dist_low, "dist_high_sec": dist_high,
     }))
 
 
