@@ -24,13 +24,21 @@ XML_GLOB = "*.[xX][mM][lL]"
 
 BINARY_FILE_SCHEMA = "path string, modificationTime timestamp, length long, content binary"
 
+# marker emitted for a declared charset the JVM decode set cannot honor;
+# xmlkit.parse_xml recognizes it and raises the message as the error row
+INGEST_ERROR_PREFIX = "<?gmx-ingest-error unsupported declared encoding: "
+
 
 def _decoded_xml(content: Column) -> Column:
     """Encoding-aware text decode of a raw XML file (the reference reads
     file bytes through ElementTree, which honors BOMs and the XML
-    declaration's encoding): UTF-16 BOMs -> UTF-16; a declared single-byte
-    charset (iso-8859-1 / latin-1 / windows-1252) -> that charset; else
-    UTF-8.  A decoded leading BOM char is stripped so ET never sees it."""
+    declaration's encoding): UTF-16 BOMs -> UTF-16; any declared charset in
+    the JVM decode set (iso-8859-1/latin-1, windows-1252, us-ascii,
+    utf-16/16le/16be) -> that charset; else UTF-8.  A file DECLARING a
+    charset outside that set (e.g. shift_jis) is NOT silently mis-decoded as
+    UTF-8 mojibake — it yields an ingest-error marker that parse_xml
+    surfaces as the document's error row.  A decoded leading BOM char is
+    stripped so ET never sees it."""
 
     utf16_bom = (
         (F.substring(content, 1, 2) == F.lit(bytes([0xFF, 0xFE])))
@@ -46,6 +54,14 @@ def _decoded_xml(content: Column) -> Column:
             F.decode(content, "ISO-8859-1"),
         )
         .when(declared == "windows-1252", F.decode(content, "windows-1252"))
+        .when(declared.isin("us-ascii", "ascii"), F.decode(content, "US-ASCII"))
+        .when(declared == "utf-16le", F.decode(content, "UTF-16LE"))
+        .when(declared == "utf-16be", F.decode(content, "UTF-16BE"))
+        .when(declared == "utf-16", F.decode(content, "UTF-16"))
+        .when(
+            ~declared.isin("", "utf-8", "utf8"),
+            F.concat(F.lit(INGEST_ERROR_PREFIX), declared, F.lit("?>")),
+        )
         .otherwise(F.decode(content, "UTF-8"))
     )
     return F.regexp_replace(text, "\\A\uFEFF", "")
@@ -88,6 +104,45 @@ def corpus_from_xml_files(spark: SparkSession, path: str) -> DataFrame:
         .load(path)
     )
     return xml_files_to_spans(raw)
+
+
+_DECLARED_NAME = {
+    "utf-8": "UTF-8", "utf8": "UTF-8",
+    "iso-8859-1": "ISO-8859-1", "latin-1": "ISO-8859-1", "latin1": "ISO-8859-1",
+    "windows-1252": "windows-1252",
+    "us-ascii": "US-ASCII", "ascii": "US-ASCII",
+    "utf-16": "UTF-16", "utf-16le": "UTF-16LE", "utf-16be": "UTF-16BE",
+}
+
+
+def write_xml_files(serialized: DataFrame, out_dir: str, encoding: str = "utf-8") -> None:
+    """S5 sink: one ``.xml`` file per document with an XML declaration and
+    byte encoding in ``encoding`` — the reference's
+    ``write(out_file_or_path, encoding=...)`` (metadata_parser.py:377-391)
+    as a distributed file sink.  Input is the (doc_id, xml) output of
+    gmx.convert.serialize_df; filenames derive from doc_id (path separators
+    sanitized).  The declared charset matches what corpus_from_xml_files
+    honors, so write -> re-ingest round-trips."""
+
+    import os
+    import re as _re
+
+    declared = _DECLARED_NAME.get(encoding.lower())
+    if declared is None:
+        raise ValueError(f"unsupported encoding: {encoding}")
+
+    def write_part(rows) -> None:
+        os.makedirs(out_dir, exist_ok=True)
+        for row in rows:
+            # leading '_'/'.' files are invisible to Spark file sources
+            # (metadata-file convention) — strip so re-ingest sees them
+            safe = _re.sub(r"[^A-Za-z0-9._-]", "_", row.doc_id).lstrip("_.")
+            name = (safe or "doc") + ".xml"
+            decl = f"<?xml version='1.0' encoding='{declared}'?>\n"
+            with open(os.path.join(out_dir, name), "wb") as fh:
+                fh.write((decl + row.xml).encode(encoding))
+
+    serialized.select("doc_id", "xml").foreachPartition(write_part)
 
 
 def corpus_from_xml_strings(spark: SparkSession, docs: list[tuple[str, str]]) -> DataFrame:

@@ -33,6 +33,10 @@ def parse_xml(text: str) -> ET.Element:
 
     if text is None or not text.strip():
         raise BadContent("no content")
+    if text.startswith("<?gmx-ingest-error "):
+        # ingest-side decode marker (gmx.ingest.INGEST_ERROR_PREFIX):
+        # surface the readable message instead of a parse error
+        raise BadContent(text[len("<?gmx-ingest-error "):].rstrip("?>").strip())
     try:
         root = ET.fromstring(text)
     except ET.ParseError as exc:

@@ -160,6 +160,58 @@ def test_antimeridian_crossing_boxes(spark):
     assert len(res) == len({(r.point_id, r.doc_id) for r in res}) == 6
 
 
+def test_aqe_skew_join_splits_planted_hot_cell(spark):
+    """Turns the documented skew story into a proven one: with salting OFF
+    and one planted hot cell (every extent in the same half-degree cell),
+    AQE's skew-join must split the hot partition — asserted by reading
+    `skew=true` out of the final adaptive physical plan.  Thresholds are
+    lowered to test scale; production relies on the same mechanism at its
+    defaults (gmx/session.py enables AQE + skewJoin)."""
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        # 20k tiny extents all inside one cell near (0.1..0.15, 0.1..0.15)
+        ext = spark.range(20_000).selectExpr(
+            "concat('d-', id) AS doc_id",
+            "0.1 + (id % 100) * 0.0004 AS west",
+            "0.1 + (id % 100) * 0.0004 AS south",
+            "0.1001 + (id % 100) * 0.0004 AS east",
+            "0.1001 + (id % 100) * 0.0004 AS north",
+        )
+        # non-constant coords so the cell key is computed per row (a literal
+        # would constant-fold the equi-join into a cartesian filter)
+        pts = spark.range(50).selectExpr(
+            "id AS point_id",
+            "0.12 + id * 1e-7 AS lon",
+            "0.12 + id * 1e-7 AS lat",
+        )
+        out = point_in_bbox(pts, ext, salt=None)
+        # collect() drives THIS DataFrame's QueryExecution, so its adaptive
+        # plan is final afterwards (count() would execute a sibling plan)
+        assert len(out.collect()) > 0
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_cover_cells_match_oracle(extents, boxes):
     import math
 

@@ -142,6 +142,58 @@ def test_ingest_encodings_and_case(spark, tmp_path):
     assert by_stem["bom"].standard == "fgdc"
 
 
+def test_ingest_unsupported_declared_encoding_errors(spark, tmp_path):
+    """A file declaring a charset the JVM decode set can't honor must yield
+    a readable error row, not silent UTF-8 mojibake; a declared us-ascii
+    file decodes fine."""
+    from pathlib import Path
+    from gmx import pipeline as P
+    from gmx.ingest import corpus_from_xml_files
+
+    base = Path("/root/reference/gis_metadata/tests/data/fgdc_metadata.xml").read_text()
+    sjis = base.replace("encoding='UTF-8'", "encoding='Shift_JIS'")
+    (tmp_path / "sjis.xml").write_bytes(sjis.encode("shift_jis"))
+    ascii_doc = base.replace("encoding='UTF-8'", "encoding='US-ASCII'").replace("é", "e")
+    (tmp_path / "plain.xml").write_bytes(ascii_doc.encode("ascii", errors="replace"))
+
+    corpus = corpus_from_xml_files(spark, str(tmp_path))
+    meta = P.extract_wide(P.with_document_text(corpus))
+    rows = {r.doc_id.rsplit("/", 1)[-1]: r for r in meta.select("doc_id", "standard", "error", "title").collect()}
+    assert "unsupported declared encoding: shift_jis" in rows["sjis"].error
+    assert rows["sjis"].standard == ""
+    assert rows["plain"].standard == "fgdc" and rows["plain"].title == "Test Title"
+
+
+def test_write_xml_files_round_trip(spark, tmp_path):
+    """S5 sink with encoding control: serialize -> write .xml files in
+    latin-1 -> re-ingest -> identical golden values (reference
+    write(out_file_or_path, encoding), metadata_parser.py:377-391)."""
+    import shutil
+    from pathlib import Path
+    from gmx import pipeline as P
+    from gmx.convert import serialize_df
+    from gmx.ingest import corpus_from_xml_files, write_xml_files
+
+    src = Path("/root/reference/gis_metadata/tests/data")
+    in_dir = tmp_path / "in"; in_dir.mkdir()
+    for name in ("fgdc_metadata.xml", "iso_metadata.xml"):
+        shutil.copy(src / name, in_dir / name)
+
+    meta = P.metadata_from_corpus(corpus_from_xml_files(spark, str(in_dir)), persist=False)
+    out_dir = tmp_path / "out"
+    write_xml_files(serialize_df(meta), str(out_dir), encoding="latin-1")
+
+    files = sorted(p.name for p in out_dir.glob("*.xml"))
+    assert len(files) == 2
+    raw = next(out_dir.glob("*fgdc*")).read_bytes()
+    assert b"encoding='ISO-8859-1'" in raw
+
+    back = P.metadata_from_corpus(corpus_from_xml_files(spark, str(out_dir)), persist=False)
+    rows = back.select("standard", "title", "abstract").collect()
+    assert {r.standard for r in rows} == {"fgdc", "iso"}
+    assert all(r.title == "Test Title" and r.abstract == "Test Abstract" for r in rows)
+
+
 def test_distributed_custom_property(spark, tmp_path):
     """Extension surface through the Spark engine: custom spec + extra
     schema ride the same Arrow extraction pass."""
