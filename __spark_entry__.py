@@ -7,8 +7,9 @@
               gmx.queries docstrings).
 ``oracle_sql`` — DuckDB SQL recomputing expected outputs from corpus
               arithmetic (gmx.oracles); omitted only for hash-based ops the
-              oracle engine cannot reproduce (xxhash64-based minhash, simhash) —
-              those get rows-only checks.
+              oracle engine cannot reproduce (the media codec stub; IVF's
+              numpy coarse-quantizer assignment) — those get rows-only
+              checks.
 """
 
 from __future__ import annotations
@@ -79,11 +80,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": Q.ann_cosine_topk,
         "dedup_embedding_cosine": Q.dedup_embedding_cosine,
         "text_fingerprint": Q.text_fingerprint,
-        # rows-only (hash/codec outputs not reproducible in the oracle engine)
         "dedup_minhash_lsh": Q.dedup_minhash_lsh,
         "dedup_simhash": Q.dedup_simhash,
-        "media_decode_stub": Q.media_decode_stub,
         "ann_lsh_topk": Q.ann_lsh_topk,
+        # rows-only (media codec stub; IVF's numpy centroid assignment)
+        "media_decode_stub": Q.media_decode_stub,
         "ann_ivf_topk": Q.ann_ivf_topk,
     }
 

@@ -413,6 +413,63 @@ pairs AS (
 SELECT a_id, b_id, CAST(inter*1000 // (na+nb-inter) AS BIGINT) AS jaccard_per_mille
 FROM pairs WHERE inter*1000 // (na+nb-inter) >= 100"""
 
+    # full MinHash-LSH dataflow with the portable polynomial shingle hash:
+    # shingles -> 16 permuted minhashes -> 4 band keys -> candidates sharing
+    # any band -> exact Jaccard verify — mirrors minhash_pairs(hash_mode=poly)
+    o["dedup_minhash_lsh"] = """
+WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+s AS (SELECT doc_id,
+        CASE WHEN len(words)>=3
+             THEN list_distinct([array_to_string(words[i:i+2],' ') for i in range(1,len(words)-1)])
+             ELSE [array_to_string(words,' ')] END AS sh
+      FROM w),
+h AS (SELECT doc_id, sh,
+        [list_reduce(list_prepend(0::BIGINT,
+            list_transform(regexp_split_to_array(g,''), c -> unicode(c)::BIGINT)),
+            (a,x) -> (a*1000003+x) % 2147483647) for g in sh] AS hs
+      FROM s),
+sig AS (SELECT doc_id, sh,
+        [list_min([(h*(2*i+1)+7*i+3) % 2147483647 for h in hs]) for i in range(0,16)] AS sg
+      FROM h),
+bk AS (SELECT doc_id, sh, UNNEST(
+         [list_reduce(list_prepend(b::BIGINT, sg[b*4+1:b*4+4]),
+                      (a,x) -> (a*1000003+x) % 1099511627776) for b in range(0,4)]) AS key
+      FROM sig),
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS sa, b.sh AS sb
+         FROM bk a JOIN bk b ON a.key = b.key AND a.doc_id < b.doc_id)
+SELECT a_id, b_id,
+       CAST(len(list_intersect(sa,sb))*1000 // (len(sa)+len(sb)-len(list_intersect(sa,sb))) AS BIGINT)
+         AS jaccard_per_mille
+FROM cand
+WHERE len(list_intersect(sa,sb))*1000 // (len(sa)+len(sb)-len(list_intersect(sa,sb))) >= 100"""
+
+    # 64-bit SimHash from two 32-bit codepoint polynomials (bits 0-31 /
+    # 32-63), sign-aggregated per bit; bucket = top 16 bits (computed from
+    # the per-bit signs to avoid unsigned-shift semantics differences)
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum([CASE WHEN (h{'lo' if b < 32 else 'hi'}[i] >> {b % 32}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END for i in range(1, len(hlo)+1)]) > 0 THEN "
+        + (f"{1 << b}::BIGINT" if b < 63 else "(-9223372036854775807 - 1)")
+        + " ELSE 0 END)"
+        for b in range(64)
+    )
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_sum([CASE WHEN (hhi[i] >> {b % 32}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END for i in range(1, len(hlo)+1)]) > 0 THEN {1 << (b - 48)}::BIGINT ELSE 0 END)"
+        for b in range(48, 64)
+    )
+    o["dedup_simhash"] = f"""
+WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+h AS (SELECT doc_id,
+        [list_reduce(list_prepend(0::BIGINT,
+            list_transform(regexp_split_to_array(tk,''), c -> unicode(c)::BIGINT)),
+            (a,x) -> (a*1000003+x) % 4294967296) for tk in toks] AS hlo,
+        [list_reduce(list_prepend(0::BIGINT,
+            list_transform(regexp_split_to_array(tk,''), c -> unicode(c)::BIGINT)),
+            (a,x) -> (a*999983+x) % 4294967296) for tk in toks] AS hhi
+      FROM t)
+SELECT doc_id, {bit_terms} AS simhash, {bucket_terms} AS bucket FROM h"""
+
     o["dedup_embedding_cosine"] = """
 WITH q AS (
   SELECT vec_id,
@@ -446,5 +503,41 @@ SELECT qid AS query_id, rank, nid AS neighbor_id FROM (
            PARTITION BY qid
            ORDER BY CAST(dot AS DOUBLE)/sqrt(CAST(qn*nn AS DOUBLE)) DESC, nid ASC) AS rank
   FROM p) WHERE rank <= 5"""
+
+    # ann_lsh_topk twin (portable plane family): 24 bands x 4 sign bits,
+    # sign(p, dim) = bit 8 of xor(p*73856093, dim*19349663); candidates share
+    # any band key, exact integer scoring, (score desc, nid) ranking
+    def plane_sum(p: int) -> str:
+        return (
+            "list_sum([CASE WHEN (xor({pm}, (i-1)*19349663) >> 8) & 1 = 0 "
+            "THEN v[i] ELSE -v[i] END for i in range(1, len(v)+1)])"
+        ).format(pm=p * 73856093)
+
+    band_keys = ", ".join(
+        "(" + str(b * 16) + " + " + " + ".join(
+            f"(CASE WHEN {plane_sum(b * 4 + r)} > 0 THEN {1 << r} ELSE 0 END)"
+            for r in range(4)
+        ) + ")::BIGINT"
+        for b in range(24)
+    )
+    o["ann_lsh_topk"] = f"""
+WITH q AS (
+  SELECT vec_id,
+         [CAST(floor(CAST(embedding[i] AS DOUBLE)*1000 + 0.5) AS BIGINT)
+          for i in range(1, len(embedding)+1)] AS v
+  FROM embeddings),
+n AS (SELECT vec_id, v, CAST(list_sum([x*x for x in v]) AS BIGINT) AS nrm FROM q),
+pk AS (SELECT vec_id, v, nrm, UNNEST([{band_keys}]) AS key FROM n),
+cand AS (
+  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+  FROM pk a JOIN pk b ON a.key = b.key AND a.vec_id % 100 = 0 AND b.vec_id <> a.vec_id),
+scored AS (
+  SELECT c.qid, c.nid,
+         row_number() OVER (
+           PARTITION BY c.qid
+           ORDER BY CAST(list_sum([qn.v[i]*nn.v[i] for i in range(1, len(qn.v)+1)]) AS DOUBLE)
+                    / sqrt(CAST(qn.nrm*nn.nrm AS DOUBLE)) DESC, c.nid ASC) AS rank
+  FROM cand c JOIN n qn ON qn.vec_id = c.qid JOIN n nn ON nn.vec_id = c.nid)
+SELECT qid AS query_id, rank, nid AS neighbor_id FROM scored WHERE rank <= 5"""
 
     return o

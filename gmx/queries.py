@@ -450,11 +450,16 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 def dedup_minhash_lsh(spark, sf_dir):
-    return minhash_pairs(_docs(spark, sf_dir), threshold=0.1)
+    """Portable-hash mode so the ENTIRE banding/candidate/verify dataflow is
+    DuckDB-reproducible and hash-gated (production default stays xxhash64 —
+    same shapes and shuffles, faster hash primitive)."""
+    return minhash_pairs(_docs(spark, sf_dir), threshold=0.1, hash_mode="poly")
 
 
 def dedup_simhash(spark, sf_dir):
-    return simhash_buckets(_docs(spark, sf_dir))
+    """Portable-hash mode (two 32-bit codepoint polynomials) — full 64-bit
+    simhash + prefix bucket hash-gated against the DuckDB twin."""
+    return simhash_buckets(_docs(spark, sf_dir), hash_mode="poly")
 
 
 def ann_cosine_topk(spark, sf_dir):
@@ -470,10 +475,14 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 def ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k (the scale path; recall vs exact
-    asserted in tests — deterministic planes, rows-only check here)."""
+    asserted in tests).  Portable plane family (hash_mode='poly') so the
+    DuckDB twin reproduces candidate generation + ranking exactly and the
+    gate hash-checks the full approximate dataflow."""
     from gmx.textops.similarity import ann_lsh_topk as _lsh
 
-    return _lsh(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=KNN_K)
+    return _lsh(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=KNN_K, hash_mode="poly"
+    )
 
 
 def ann_ivf_topk(spark, sf_dir):

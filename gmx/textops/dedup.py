@@ -21,6 +21,34 @@ from pyspark.sql import DataFrame, functions as F
 # overflows int64 under ANSI mode.
 MINHASH_PRIME = (1 << 31) - 1
 
+# ``hash_mode`` on the hash-based dedup ops:
+# - "xxhash64" (default): JVM-native, fastest — the production path
+# - "poly": polynomial codepoint hash computable in plain integer SQL, so the
+#   DuckDB oracle reproduces the ENTIRE banding/bucketing/verify dataflow and
+#   the driver gate can hash-check it (the round-1 nit: xxhash64-based ops
+#   were rows-only).  Same shapes, same shuffles — only the hash primitive
+#   differs.
+
+
+def _poly_hash(col, mod: int, base: int = 1000003):
+    """fold(codepoints): (acc*base + cp) mod ``mod`` — exact twin of the
+    DuckDB list_reduce in gmx.oracles; mod must keep acc*base within int64."""
+
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(
+            acc * F.lit(base).cast("long") + F.coalesce(F.ascii(c).cast("long"), F.lit(0)),
+            F.lit(mod).cast("long"),
+        ),
+    )
+
+
+def _shingle_hash(col, hash_mode: str):
+    if hash_mode == "poly":
+        return _poly_hash(col, MINHASH_PRIME)
+    return F.pmod(F.xxhash64(col), F.lit(MINHASH_PRIME).cast("long"))
+
 
 def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact duplicate groups: (text_md5, n_docs, min_doc_id)."""
@@ -47,11 +75,14 @@ def _shingles(text_col: str, n: int = 3):
     )
 
 
-def minhash_signatures(docs: DataFrame, text_col: str = "text", num_hashes: int = 16, shingle: int = 3) -> DataFrame:
-    """(doc_id, sig: array<long>): K minhashes over word-shingle xxhash64s."""
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", num_hashes: int = 16, shingle: int = 3,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, sig: array<long>): K minhashes over word-shingle hashes."""
 
     sh = _shingles(text_col, shingle)
-    hashes = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME).cast("long")))
+    hashes = F.transform(sh, lambda s: _shingle_hash(s, hash_mode))
     sig = F.array(*[
         F.array_min(
             F.transform(
@@ -72,6 +103,7 @@ def minhash_pairs(
     bands: int = 4,
     shingle: int = 3,
     threshold: float = 0.5,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidate generation + exact Jaccard verification.
 
@@ -88,7 +120,7 @@ def minhash_pairs(
         docs.select("doc_id", _shingles(text_col, shingle).alias("shingles"))
         .withColumn(
             "hashes",
-            F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME).cast("long"))),
+            F.transform("shingles", lambda s: _shingle_hash(s, hash_mode)),
         )
         .withColumn(
             "sig",
@@ -107,10 +139,22 @@ def minhash_pairs(
         )
     )
 
-    band_keys = F.array(*[
-        F.xxhash64(F.lit(b), *[F.element_at("sig", b * rows + r + 1) for r in range(rows)])
-        for b in range(bands)
-    ])
+    if hash_mode == "poly":
+        band_keys = F.array(*[
+            F.aggregate(
+                F.slice("sig", b * rows + 1, rows),
+                F.lit(b).cast("long"),
+                lambda acc, v: F.pmod(
+                    acc * F.lit(1000003).cast("long") + v, F.lit(1 << 40).cast("long")
+                ),
+            )
+            for b in range(bands)
+        ])
+    else:
+        band_keys = F.array(*[
+            F.xxhash64(F.lit(b), *[F.element_at("sig", b * rows + r + 1) for r in range(rows)])
+            for b in range(bands)
+        ])
     exploded = d.select("doc_id", "shingles", F.explode(band_keys).alias("band_key"))
 
     a, b = exploded.alias("a"), exploded.alias("b")
@@ -193,22 +237,39 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_buckets(docs: DataFrame, text_col: str = "text", prefix_bits: int = 16) -> DataFrame:
+def simhash_buckets(
+    docs: DataFrame, text_col: str = "text", prefix_bits: int = 16,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
     """64-bit SimHash per doc + a prefix bucket for near-dup blocking.
 
     Bit b of the simhash is the sign of sum over tokens of (+1/-1) depending
-    on bit b of xxhash64(token) — computed with aggregate() over the token
-    array, entirely JVM-side.  Returns (doc_id, simhash, bucket)."""
+    on bit b of hash(token) — computed with aggregate() over the token
+    array, entirely JVM-side.  ``hash_mode='poly'`` draws bits 0-31 / 32-63
+    from two independent 32-bit codepoint polynomials (base 1000003 /
+    999983) so the DuckDB oracle reproduces the full simhash; the default
+    draws all 64 bits from xxhash64.  Returns (doc_id, simhash, bucket)."""
 
     toks = F.split(F.col(text_col), " ")
-    th = F.transform(toks, lambda t: F.xxhash64(t))
+    if hash_mode == "poly":
+        def _lane(base: int):
+            # factory (not a comprehension lambda): pyspark treats a 2-arg
+            # lambda as (element, index), and late binding would alias base
+            return F.transform(toks, lambda t: _poly_hash(t, 1 << 32, base))
+
+        lanes = [_lane(1000003), _lane(999983)]
+        lane_for = lambda b: (lanes[b // 32], b % 32)
+    else:
+        th = F.transform(toks, lambda t: F.xxhash64(t))
+        lane_for = lambda b: (th, b)
 
     def bit_sum(b: int):
+        arr, bit = lane_for(b)
         return F.aggregate(
-            th,
+            arr,
             F.lit(0).cast("long"),
             lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1).cast("long")) == 1, F.lit(1)).otherwise(F.lit(-1)),
+            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1).cast("long")) == 1, F.lit(1)).otherwise(F.lit(-1)),
         )
 
     sim = F.lit(0).cast("long")

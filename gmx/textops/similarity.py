@@ -192,6 +192,7 @@ def ann_lsh_topk(
     band_bits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Approximate top-k via multi-band (OR-amplified) hyperplane LSH:
     corpus and queries each explode into ``bands`` band keys; a neighbor is a
@@ -208,7 +209,7 @@ def ann_lsh_topk(
     ).withColumn("nnorm", _dot(F.col("nvec"), F.col("nvec")))
     idx = base.select(
         "nid", "nvec", "nnorm",
-        F.explode(_band_keys(F.col("nvec"), bands, band_bits)).alias("band_key"),
+        F.explode(_band_keys(F.col("nvec"), bands, band_bits, hash_mode)).alias("band_key"),
     )
 
     queries = (
@@ -314,26 +315,42 @@ def ann_ivf_topk(
     )
 
 
-def _plane_dot(qcol, p: int):
-    """Dot with pseudo-random +/-1 hyperplane p: component (p, dim) sign from
-    xxhash64(p, dim) parity — reproducible without shipping plane data; the
-    whole thing is one JVM aggregate over the quantized array."""
+# xor-multiply mixing constants for the portable plane family (hash_mode
+# 'poly'): sign(p, dim) = bit 8 of (p*73856093 XOR dim*19349663) — exact
+# integer arithmetic DuckDB reproduces, so LSH candidate generation can be
+# oracle-gated end to end
+_PLANE_MIX_P = 73856093
+_PLANE_MIX_I = 19349663
+
+
+def _plane_dot(qcol, p: int, hash_mode: str = "xxhash64"):
+    """Dot with pseudo-random +/-1 hyperplane p: component (p, dim) sign
+    from xxhash64(p, dim) parity (default, JVM-native) or the portable
+    xor-multiply bit (``hash_mode='poly'``); the whole thing is one JVM
+    aggregate over the quantized array."""
 
     idx = F.sequence(F.lit(0), F.size(qcol) - 1)
-    return F.aggregate(
-        F.zip_with(
-            qcol,
-            idx,
-            lambda x, i: F.when(
+    if hash_mode == "poly":
+        def sign(x, i):
+            mixed = F.lit(p * _PLANE_MIX_P).cast("long").bitwiseXOR(
+                i.cast("long") * F.lit(_PLANE_MIX_I).cast("long")
+            )
+            return F.when(
+                F.shiftright(mixed, 8).bitwiseAND(F.lit(1).cast("long")) == 0, x
+            ).otherwise(-x)
+    else:
+        def sign(x, i):
+            return F.when(
                 F.pmod(F.xxhash64(F.lit(p), i), F.lit(2)) == 0, x
-            ).otherwise(-x),
-        ),
+            ).otherwise(-x)
+    return F.aggregate(
+        F.zip_with(qcol, idx, sign),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
 
 
-def _band_keys(qcol, bands: int, band_bits: int):
+def _band_keys(qcol, bands: int, band_bits: int, hash_mode: str = "xxhash64"):
     """Array of ``bands`` OR-amplified LSH keys over a quantized vector:
     band b packs sign bits of planes [b*band_bits, (b+1)*band_bits) plus the
     band index (so keys never collide across bands)."""
@@ -344,7 +361,7 @@ def _band_keys(qcol, bands: int, band_bits: int):
         for r in range(band_bits):
             p = b * band_bits + r
             sig = sig + F.when(
-                _plane_dot(qcol, p) > 0, F.lit(1 << r).cast("long")
+                _plane_dot(qcol, p, hash_mode) > 0, F.lit(1 << r).cast("long")
             ).otherwise(F.lit(0).cast("long"))
         keys.append(sig)
     return F.array(*keys)
