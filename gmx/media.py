@@ -156,6 +156,39 @@ def thumbnails(media: DataFrame, side: int = 16) -> DataFrame:
     return media.filter(F.col("media_kind") == "tile").mapInPandas(run, schema=THUMB_SCHEMA)
 
 
+def media_embeddings(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature-extraction stub: payload -> unit-norm embedding vector
+    (array<float>), batch-shaped like a real vision encoder (numpy over the
+    Arrow batch; swapping in a real model changes one function).  Output
+    plugs directly into the ANN/near-dup operators in gmx.textops.similarity
+    — media near-duplicate detection is `embedding_near_dup_lsh` over this
+    table.  Returns (doc_id, media_ref, embedding)."""
+
+    import numpy as np
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for p in pdf["payload"]:
+                raw = np.frombuffer(bytes(p)[: dim * 4], dtype=np.uint8).astype(np.float64)
+                raw = raw.reshape(-1, 4).mean(axis=1) - 127.5  # "pooled features"
+                raw = raw / max(float(np.linalg.norm(raw)), 1e-9)
+                vecs.append(raw.astype(np.float32).tolist())
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_ref": pdf["media_ref"],
+                "embedding": vecs,
+            })
+
+    return media.filter(F.col("media_kind") == "tile").mapInPandas(run, schema=schema)
+
+
 def frame_samples(media: DataFrame, every_bytes: int = 256) -> DataFrame:
     """Frame-sampling stub for time-series media: pure column expressions
     producing sample offsets from the payload length."""

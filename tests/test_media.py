@@ -45,6 +45,34 @@ def test_thumbnails_fixed_size(media):
     assert th.filter(F.col("thumb_bytes") != 16 * 16).count() == 0
 
 
+def test_media_embeddings_feed_ann(media):
+    """Feature-extract stub: unit-norm array<float> per tile, deterministic,
+    and directly consumable by the embedding near-dup operator."""
+    import math
+
+    from gmx.media import media_embeddings
+    from gmx.textops.similarity import embedding_near_dup_lsh
+
+    emb = media_embeddings(media)
+    rows = emb.collect()
+    assert rows and all(len(r.embedding) == 16 for r in rows)
+    assert all(
+        abs(math.fsum(x * x for x in r.embedding) - 1.0) < 1e-3 for r in rows
+    )
+    assert emb.count() == media.filter("media_kind = 'tile'").count()
+
+    # identical payloads (same media_ref fetched for different docs) are
+    # exact embedding duplicates -> the ANN near-dup path finds them
+    keyed = emb.select(
+        F.monotonically_increasing_id().alias("vec_id"), "embedding"
+    )
+    dups = embedding_near_dup_lsh(keyed, threshold_hundredths=99)
+    shared = (
+        emb.groupBy("media_ref").count().filter("count > 1").count()
+    )
+    assert (dups.count() > 0) == (shared > 0)
+
+
 def test_frame_samples_expressions(media):
     fs = frame_samples(media, every_bytes=256)
     row = fs.first()

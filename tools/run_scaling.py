@@ -117,11 +117,13 @@ noise; the honest claim is "no parallelism bottleneck up to
 interleaved runs (equal noise exposure both sides); pipeline wall-time
 distributions: local[{low}] {dist_low} s, local[{high}] {dist_high} s.
 
-Parallelism-level choice: the 32-CPU sandbox host carries a variable
-external load (loadavg 8-15 with nothing of ours running), so comparisons
-claiming most of the machine measure capacity theft, not the engine.
-N={low} vs {factor:.0f}N={high} keeps both legs inside reliably-free
-capacity; the driver instruction permits any N vs 4N core pair.
+Parallelism-level choice: the driver instruction permits any N vs 4N core
+pair.  On this shared 32-CPU host the single-JVM local mode imposes a
+ceiling: the same pipeline measured eff 0.22 at 8-vs-32 (local[32] is no
+faster than local[8] — fixed driver/Arrow costs and memory bandwidth, not
+the plan) and carries variable external load, so the honest pair is one
+where BOTH legs are underprovisioned relative to free capacity.  The full
+measured ladder for this round is recorded below the caveats when present.
 """
     (REPO / "BENCH" / "BASELINE.md").write_text(md)
     print(json.dumps({
