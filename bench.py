@@ -134,6 +134,23 @@ def main() -> None:
     timed("minhash_dedup", lambda: minhash_pairs(raw_docs, threshold=0.1).count())
     timed("ann_cosine", lambda: cosine_topk(emb).count())
 
+    # in-place update at scale 1 (full-property extraction + patch + re-span;
+    # fixed-size auxiliary op like dedup/ANN, excluded from the headline)
+    from pyspark.sql import functions as F
+    from gmx.update import update_corpus_df
+
+    upd_corpus = P.corpus_df(spark, sf_dir).persist()
+    upd_meta = P.metadata_from_corpus(upd_corpus, persist=False).persist()
+    upd_meta.count()  # extraction cost not charged to the update op
+    timed(
+        "update_inplace",
+        lambda: update_corpus_df(
+            upd_corpus, upd_meta.withColumn("title", F.concat("title", F.lit(" v2")))
+        ).count(),
+    )
+    upd_corpus.unpersist()
+    upd_meta.unpersist()
+
     spatial_sec = round(sum(times[q] for q in SPATIAL), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(json.dumps({

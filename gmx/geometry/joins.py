@@ -113,30 +113,40 @@ def bbox_overlap_pairs(
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
     )
 
-    # broadcast the (tiny) LARGE tier; the full extent stream stays distributed
-    other = ext.select("doc_id", "west", "south", "east", "north", "is_large", "split").alias("o")
-    l = large.alias("l")
-    lp_raw = (
-        other.join(
-            F.broadcast(l),
-            _overlap("l", "o")
-            & (F.col("o.doc_id") != F.col("l.doc_id"))
-            & (~F.col("o.is_large") | (F.col("o.doc_id") > F.col("l.doc_id"))),
+    # broadcast the (tiny) LARGE tier; the full extent stream stays distributed.
+    # Split-involved combinations are routed through SEPARATE (near-empty)
+    # joins and deduped there: a counterpart overlapping BOTH parts of a
+    # crossing box would otherwise emit the pair once per part combo.  The
+    # inputs are split BEFORE joining so the heavy non-split stream is joined
+    # exactly once with no dedup shuffle (filtering the join OUTPUT twice
+    # would re-execute the broadcast join per branch).
+    other = ext.select("doc_id", "west", "south", "east", "north", "is_large", "split")
+    l_ns = large.filter(~F.col("split"))
+    l_s = large.filter(F.col("split"))
+
+    def ljoin(o_side: DataFrame, l_side: DataFrame) -> DataFrame:
+        o, l = o_side.alias("o"), l_side.alias("l")
+        return (
+            o.join(
+                F.broadcast(l),
+                _overlap("l", "o")
+                & (F.col("o.doc_id") != F.col("l.doc_id"))
+                & (~F.col("o.is_large") | (F.col("o.doc_id") > F.col("l.doc_id"))),
+            )
+            .select(
+                F.least("l.doc_id", "o.doc_id").alias("a_id"),
+                F.greatest("l.doc_id", "o.doc_id").alias("b_id"),
+            )
         )
-        .select(
-            F.least("l.doc_id", "o.doc_id").alias("a_id"),
-            F.greatest("l.doc_id", "o.doc_id").alias("b_id"),
-            (F.col("l.split") | F.col("o.split")).alias("any_split"),
-        )
-    )
-    # a counterpart overlapping BOTH parts of a crossing box (or two crossing
-    # boxes meeting part-to-part) yields the pair once per part combo; dedup
-    # only that split-involved sliver — non-split large pairs stay dedup-free
-    large_pairs = lp_raw.filter(~F.col("any_split")).select("a_id", "b_id").unionByName(
-        lp_raw.filter(F.col("any_split")).dropDuplicates(["a_id", "b_id"]).select("a_id", "b_id")
+
+    large_pairs = ljoin(other.filter(~F.col("split")), l_ns)
+    split_pairs = (
+        ljoin(other.filter(F.col("split")), l_ns)
+        .unionByName(ljoin(other, l_s))
+        .dropDuplicates(["a_id", "b_id"])
     )
 
-    return small_pairs.unionByName(large_pairs)
+    return small_pairs.unionByName(large_pairs).unionByName(split_pairs)
 
 
 def point_in_bbox(
@@ -349,14 +359,18 @@ def tile_extent_join(
         )
         .select("tile_id", "doc_id")
     )
-    lh_raw = (
+    # a tile can overlap both parts of an antimeridian-crossing box; the
+    # split slice joins separately (near-empty input) and dedups there, so
+    # the non-split broadcast join runs once with no dedup shuffle
+    large_hits = (
         tbox.alias("t")
-        .join(F.broadcast(large.alias("d")), _overlap("t", "d"))
-        .select("tile_id", "doc_id", "split")
+        .join(F.broadcast(large.filter(~F.col("split")).alias("d")), _overlap("t", "d"))
+        .select("tile_id", "doc_id")
     )
-    # a tile can overlap both parts of an antimeridian-crossing box; dedup
-    # only the split sliver
-    large_hits = lh_raw.filter(~F.col("split")).select("tile_id", "doc_id").unionByName(
-        lh_raw.filter(F.col("split")).dropDuplicates(["tile_id", "doc_id"]).select("tile_id", "doc_id")
+    split_hits = (
+        tbox.alias("t")
+        .join(F.broadcast(large.filter(F.col("split")).alias("d")), _overlap("t", "d"))
+        .select("tile_id", "doc_id")
+        .dropDuplicates(["tile_id", "doc_id"])
     )
-    return small_hits.unionByName(large_hits)
+    return small_hits.unionByName(large_hits).unionByName(split_hits)
