@@ -8,8 +8,9 @@ Scale shapes:
   buckets are the shuffle keys (salt-able if a bucket explodes).
 - SimHash: 64-bit sign-aggregated token hashes; near-dups share prefix
   buckets.
-All hashing uses crc32/xxhash64 built-ins so results are engine-deterministic
-and reproducible without Python in the loop.
+All hashing is built-in JVM expressions (xxhash64 by default, or the
+portable polynomial ``hash_mode='poly'``) so results are deterministic and
+reproducible without Python in the loop.
 """
 
 from __future__ import annotations

@@ -155,7 +155,12 @@ def _sections(root: ET.Element) -> list[str]:
     return parts
 
 
-def update_corpus_df(corpus: DataFrame, meta: DataFrame) -> DataFrame:
+def update_corpus_df(
+    corpus: DataFrame,
+    meta: DataFrame,
+    specs: dict | None = None,
+    extra_fields: list[str] | None = None,
+) -> DataFrame:
     """U1 in-place preservation as a Spark operator: corpus span rows joined
     with their (possibly modified) wide records; each document's ORIGINAL
     XML is patched and re-split into spans.  Unmanaged elements survive.
@@ -164,12 +169,19 @@ def update_corpus_df(corpus: DataFrame, meta: DataFrame) -> DataFrame:
     partitioning lineage), then a single Arrow pass.  Attributes are written
     from ``attributes_inline`` when present so a catalog-resolved view is
     not flattened into the local document (the catalog reference element is
-    preserved instead, like the reference's untouched remote fetch)."""
+    preserved instead, like the reference's untouched remote fetch).
+
+    ``specs``/``extra_fields``: the same extension surface as
+    extract_wide — custom X1/X2 properties named in ``extra_fields`` ride
+    the join and are written by the overridden spec (the specs dict pickles
+    into the Arrow closure, so callable write_fns run on executors)."""
 
     from gmx.convert import _REC_FIELDS, _to_plain
     from gmx.schema import CORPUS_SCHEMA
 
-    rec_cols = ["standard"] + _REC_FIELDS
+    rec_cols = ["standard"] + _REC_FIELDS + [
+        c for c in (extra_fields or []) if c in meta.columns
+    ]
     # left join: corpus rows without a record (e.g. catalog siblings, or a
     # selective update) pass through byte-identical
     joined = corpus.join(meta.select("doc_id", *rec_cols), "doc_id", "left")
@@ -192,7 +204,7 @@ def update_corpus_df(corpus: DataFrame, meta: DataFrame) -> DataFrame:
                     s["text"] for s in spans if s["kind"] == "text"
                 )
                 root = parse_xml(xml)
-                update_tree(root, rec, rec["standard"])
+                update_tree(root, rec, rec["standard"], specs)
                 new_spans, offset = [], 0
                 for sec in _sections(root):
                     new_spans.append(

@@ -171,6 +171,55 @@ def test_iso_foreign_keyword_group_survives():
     assert back["thematic_keywords"] == GOLD["thematic_keywords"]
 
 
+def test_distributed_update_with_custom_prop(spark, tmp_path):
+    """X2 symmetry on the write path: a custom property extends the spec,
+    extracts distributed, is set on the DataFrame, and update_corpus_df
+    writes it into the ORIGINAL documents in place — built-ins and
+    unmanaged anchors untouched."""
+    import shutil
+
+    from pyspark.sql import functions as F, types as T
+    from gmx import pipeline as P
+    from gmx.ingest import corpus_from_xml_files
+    from gmx.specs import SPECS
+    from gmx.specs.model import extend_spec
+    from gmx.update import update_corpus_df
+
+    for name in FIXTURES.values():
+        shutil.copy(DATA / name, tmp_path / name)
+    specs = {
+        "fgdc": extend_spec(SPECS["fgdc"], simple={"editor_note": ("idinfo/editor_note",)})
+    }
+
+    corpus = corpus_from_xml_files(spark, str(tmp_path)).persist()
+    meta = P.metadata_from_corpus(
+        corpus, persist=False, specs=specs,
+        extra_schema=[T.StructField("editor_note", T.StringType())],
+    )
+    mutated = meta.withColumn(
+        "editor_note",
+        F.when(F.col("standard") == "fgdc", F.lit("added by update")).otherwise(F.lit("")),
+    )
+    updated = update_corpus_df(corpus, mutated, specs=specs, extra_fields=["editor_note"])
+
+    back = P.metadata_from_corpus(
+        updated, persist=False, specs=specs,
+        extra_schema=[T.StructField("editor_note", T.StringType())],
+    )
+    rows = {r.standard: r for r in back.select("standard", "title", "editor_note").collect()}
+    assert rows["fgdc"].editor_note == "added by update"
+    assert all(r.title == "Test Title" for r in rows.values())
+    # unmanaged anchor survives the distributed update
+    fgdc_xml = (
+        P.with_document_text(updated)
+        .filter(F.col("xml").contains("<idinfo>"))
+        .filter(F.col("xml").contains("editor_note"))
+        .first()
+        .xml
+    )
+    assert find_all(parse_xml(fgdc_xml), UNMANAGED["fgdc"])
+
+
 def test_update_tree_is_in_place():
     """update_tree mutates the given root (no copy) and returns it."""
 
