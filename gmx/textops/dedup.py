@@ -105,13 +105,22 @@ def minhash_pairs(
     shingle: int = 3,
     threshold: float = 0.5,
     hash_mode: str = "xxhash64",
+    verify_mode: str = "ride",
 ) -> DataFrame:
     """LSH candidate generation + exact Jaccard verification.
 
     bands x rows layout: docs sharing any band's row-hash tuple become
     candidates; candidates are verified with exact shingle Jaccard via an
-    array intersection (no re-shuffle of the corpus — shingle arrays ride
-    along the band explode).  Returns (a_id, b_id, jaccard_per_mille).
+    array intersection.  Returns (a_id, b_id, jaccard_per_mille).
+
+    ``verify_mode`` picks the shuffle trade (PLANS.md §11):
+    - "ride" (default, right at bench scale): shingle arrays ride the band
+      explode — no second corpus shuffle, but band-key shuffle volume is
+      bands x document size.
+    - "join_back" (right at corpus scale): the band join moves only
+      (doc_id, band_key) ~16 B/doc/band; deduped candidate PAIRS then join
+      the shingle arrays back by doc id, so document bytes move once per
+      candidate side, not once per band.  Identical results (pytest-pinned).
     """
 
     rows = num_hashes // bands
@@ -156,19 +165,32 @@ def minhash_pairs(
             F.xxhash64(F.lit(b), *[F.element_at("sig", b * rows + r + 1) for r in range(rows)])
             for b in range(bands)
         ])
-    exploded = d.select("doc_id", "shingles", F.explode(band_keys).alias("band_key"))
-
-    a, b = exploded.alias("a"), exploded.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            F.col("a.shingles").alias("sa"),
-            F.col("b.shingles").alias("sb"),
+    if verify_mode == "join_back":
+        keys = d.select("doc_id", F.explode(band_keys).alias("band_key"))
+        a, b = keys.alias("a"), keys.alias("b")
+        pairs = (
+            a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+            .dropDuplicates(["a_id", "b_id"])
         )
-        .dropDuplicates(["a_id", "b_id"])
-    )
+        sh = d.select("doc_id", "shingles")
+        cand = (
+            pairs.join(sh.withColumnRenamed("doc_id", "a_id").withColumnRenamed("shingles", "sa"), "a_id")
+            .join(sh.withColumnRenamed("doc_id", "b_id").withColumnRenamed("shingles", "sb"), "b_id")
+        )
+    else:
+        exploded = d.select("doc_id", "shingles", F.explode(band_keys).alias("band_key"))
+        a, b = exploded.alias("a"), exploded.alias("b")
+        cand = (
+            a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(
+                F.col("a.doc_id").alias("a_id"),
+                F.col("b.doc_id").alias("b_id"),
+                F.col("a.shingles").alias("sa"),
+                F.col("b.shingles").alias("sb"),
+            )
+            .dropDuplicates(["a_id", "b_id"])
+        )
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size("sa") + F.size("sb") - inter
     jac = (inter.cast("long") * 1000 / union).cast("long")

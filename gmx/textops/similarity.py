@@ -193,6 +193,7 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     hash_mode: str = "xxhash64",
+    candidate_mode: str = "ride",
 ) -> DataFrame:
     """Approximate top-k via multi-band (OR-amplified) hyperplane LSH:
     corpus and queries each explode into ``bands`` band keys; a neighbor is a
@@ -200,34 +201,68 @@ def ann_lsh_topk(
     nid) dedup, then exact scoring + window).  Versus a single signature this
     raises recall from 1 - miss to 1 - miss^bands at the same join shape;
     recall >= 0.9 vs the exact cosine_topk is asserted in tests.
-    Deterministic (fixed pseudo-random planes)."""
+    Deterministic (fixed pseudo-random planes).
+
+    ``candidate_mode`` (PLANS.md §11): "ride" carries vectors through the
+    band explode (no join-back, band shuffle ~ bands x vector bytes);
+    "join_back" shuffles only (id, band_key) per band and joins vectors
+    back onto the deduped candidate pairs — the right trade when vectors
+    are large relative to the 16-byte keys.  Identical results."""
 
     from pyspark.sql import Window
 
     base = embeddings.select(
         F.col(id_col).alias("nid"), _quantized(F.col(vec_col)).alias("nvec")
     ).withColumn("nnorm", _dot(F.col("nvec"), F.col("nvec")))
-    idx = base.select(
-        "nid", "nvec", "nnorm",
-        F.explode(_band_keys(F.col("nvec"), bands, band_bits, hash_mode)).alias("band_key"),
-    )
 
-    queries = (
-        idx.filter(F.pmod(F.col("nid"), F.lit(query_mod)) == 0)
-        .select(
-            F.col("nid").alias("qid"), F.col("nvec").alias("qvec"),
-            F.col("nnorm").alias("qnorm"), F.col("band_key").alias("qkey"),
-        )
-    )
     score = _dot(F.col("qvec"), F.col("nvec")) / F.sqrt(
         (F.col("qnorm") * F.col("nnorm")).cast("double")
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
+
+    if candidate_mode == "join_back":
+        keys = base.select(
+            "nid", F.explode(_band_keys(F.col("nvec"), bands, band_bits, hash_mode)).alias("band_key")
+        )
+        qkeys = keys.filter(F.pmod(F.col("nid"), F.lit(query_mod)) == 0).select(
+            F.col("nid").alias("qid"), F.col("band_key").alias("qkey")
+        )
+        pairs = (
+            keys.join(qkeys, (F.col("band_key") == F.col("qkey")) & (F.col("qid") != F.col("nid")))
+            .select("qid", "nid")
+            .dropDuplicates(["qid", "nid"])
+        )
+        scored = (
+            pairs.join(base, "nid")
+            .join(
+                base.select(
+                    F.col("nid").alias("qid"), F.col("nvec").alias("qvec"),
+                    F.col("nnorm").alias("qnorm"),
+                ),
+                "qid",
+            )
+            .select("qid", "nid", score.alias("score"))
+        )
+    else:
+        idx = base.select(
+            "nid", "nvec", "nnorm",
+            F.explode(_band_keys(F.col("nvec"), bands, band_bits, hash_mode)).alias("band_key"),
+        )
+        queries = (
+            idx.filter(F.pmod(F.col("nid"), F.lit(query_mod)) == 0)
+            .select(
+                F.col("nid").alias("qid"), F.col("nvec").alias("qvec"),
+                F.col("nnorm").alias("qnorm"), F.col("band_key").alias("qkey"),
+            )
+        )
+        scored = (
+            idx.join(queries, (F.col("band_key") == F.col("qkey")) & (F.col("qid") != F.col("nid")))
+            .dropDuplicates(["qid", "nid"])
+            .select("qid", "nid", score.alias("score"))
+        )
+
     return (
-        idx.join(queries, (F.col("band_key") == F.col("qkey")) & (F.col("qid") != F.col("nid")))
-        .dropDuplicates(["qid", "nid"])
-        .select("qid", "nid", score.alias("score"))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(F.col("qid").alias("query_id"), "rank", F.col("nid").alias("neighbor_id"))
     )

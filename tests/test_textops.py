@@ -73,6 +73,19 @@ def test_ngram_jaccard_stop_shingle_cap(spark):
     assert (0, 1) in uncapped and len(uncapped) == 50 * 49 // 2 + 1
 
 
+def test_minhash_verify_modes_agree(docs):
+    """The scale-trade variants (arrays riding the band explode vs keys-only
+    join + join-back-by-id) are the same operator: identical pair sets and
+    scores (PLANS.md §11)."""
+    from gmx.textops import minhash_pairs
+
+    ride = {(r.a_id, r.b_id, r.jaccard_per_mille)
+            for r in minhash_pairs(docs, threshold=0.1).collect()}
+    jb = {(r.a_id, r.b_id, r.jaccard_per_mille)
+          for r in minhash_pairs(docs, threshold=0.1, verify_mode="join_back").collect()}
+    assert ride == jb and ride
+
+
 def test_cosine_topk_matches_numpy(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     rows = emb.collect()
@@ -126,6 +139,17 @@ def test_ann_lsh_recall_vs_exact(spark, sf_dir):
     # neighbors (cos ~0.35-0.5, per-plane agreement ~0.61) the union of band
     # matches recovers >=0.9 of the exact top-k (deterministic planes)
     assert recall >= 0.9, recall
+
+
+def test_ann_lsh_candidate_modes_agree(spark, sf_dir):
+    """ride vs join_back candidate generation: identical ranked results."""
+    from gmx.textops.similarity import ann_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ride = {(r.query_id, r.rank, r.neighbor_id) for r in ann_lsh_topk(emb).collect()}
+    jb = {(r.query_id, r.rank, r.neighbor_id)
+          for r in ann_lsh_topk(emb, candidate_mode="join_back").collect()}
+    assert ride == jb and ride
 
 
 def test_embedding_near_dup_lsh_equals_exact(spark):
