@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from gmx.specs import SPECS
 from gmx.serialize import write_into
-from gmx.xmlkit import find_all, parse_xml, split_attr, to_string
+from gmx.xmlkit import BadContent, find_all, parse_xml, split_attr, to_string
 
 
 def _remove_path(root: ET.Element, path: str) -> None:
@@ -203,7 +203,15 @@ def update_corpus_df(
                 xml = "".join(
                     s["text"] for s in spans if s["kind"] == "text"
                 )
-                root = parse_xml(xml)
+                try:
+                    root = parse_xml(xml)
+                except BadContent:
+                    # a record paired with unparseable spans (caller-built
+                    # input): pass the document through untouched rather
+                    # than killing the task
+                    out["doc_id"].append(rec["doc_id"])
+                    out["spans"].append([dict(s) for s in spans])
+                    continue
                 update_tree(root, rec, rec["standard"], specs)
                 new_spans, offset = [], 0
                 for sec in _sections(root):

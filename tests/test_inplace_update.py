@@ -220,6 +220,27 @@ def test_distributed_update_with_custom_prop(spark, tmp_path):
     assert find_all(parse_xml(fgdc_xml), UNMANAGED["fgdc"])
 
 
+def test_update_corpus_passes_through_unparseable_docs(spark):
+    """A record paired with broken spans (caller-built input) must pass the
+    document through untouched, not kill the task."""
+    from pyspark.sql import functions as F
+    from gmx import pipeline as P
+    from gmx.schema import CORPUS_SCHEMA
+    from gmx.update import update_corpus_df
+
+    corpus = spark.createDataFrame(
+        [("bad-1", [("text", "<<< not xml", "", 0)])], schema=CORPUS_SCHEMA
+    )
+    # force a matching record despite the broken document (extract_wide
+    # yields an error row with standard=''; pretend a caller labeled it)
+    meta = P.extract_wide(P.with_document_text(corpus)).withColumn(
+        "standard", F.lit("fgdc")
+    )
+    out = update_corpus_df(corpus, meta).collect()
+    assert len(out) == 1
+    assert out[0].spans[0].text == "<<< not xml"
+
+
 def test_update_tree_is_in_place():
     """update_tree mutates the given root (no copy) and returns it."""
 
