@@ -333,13 +333,12 @@ def update_preserve_violations(spark, sf_dir):
     updated = update_corpus_df(planted, mutated).persist()
     meta2 = pipeline.metadata_from_corpus(updated)
 
+    # compare EVERY schema field except the mutated one (title) and the key —
+    # any drift in any property fails the gate
+    from gmx.schema import METADATA_SCHEMA
+
     compare = [
-        "abstract", "purpose", "publish_date", "use_constraints", "dist_email",
-        "dist_address_type", "processing_fees", "bounding_box", "dates",
-        "place_keywords", "thematic_keywords", "stratum_keywords",
-        "temporal_keywords", "contacts", "digital_forms", "process_steps",
-        "larger_works", "raster_info", "attributes", "attributes_inline",
-        "attr_catalog_url", "media_refs",
+        f.name for f in METADATA_SCHEMA.fields if f.name not in ("doc_id", "title")
     ]
     fp = lambda side: F.to_json(F.struct(*[F.col(f"{side}.{c}") for c in compare]))
 
