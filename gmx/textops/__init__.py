@@ -1,9 +1,23 @@
-from gmx.textops.dedup import exact_dup_groups, minhash_pairs, ngram_jaccard_pairs, simhash_buckets
+from gmx.textops.dedup import (
+    exact_dup_groups,
+    minhash_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+)
 from gmx.textops.quality import lang_id, quality_scores, rolling_fingerprint, token_counts
-from gmx.textops.similarity import ann_ivf_topk, ann_lsh_topk, cosine_topk
+from gmx.textops.similarity import (
+    ann_ivf_topk,
+    ann_lsh_topk,
+    cosine_topk,
+    embedding_near_dup,
+    embedding_near_dup_lsh,
+    lsh_buckets,
+)
 
 __all__ = [
-    "ann_ivf_topk", "ann_lsh_topk", "cosine_topk", "exact_dup_groups",
-    "lang_id", "minhash_pairs", "ngram_jaccard_pairs", "quality_scores",
-    "rolling_fingerprint", "simhash_buckets", "token_counts",
+    "ann_ivf_topk", "ann_lsh_topk", "cosine_topk", "embedding_near_dup",
+    "embedding_near_dup_lsh", "exact_dup_groups", "lang_id", "lsh_buckets",
+    "minhash_pairs", "minhash_signatures", "ngram_jaccard_pairs",
+    "quality_scores", "rolling_fingerprint", "simhash_buckets", "token_counts",
 ]
