@@ -57,6 +57,23 @@ def _with_tier(extents: DataFrame, level: int, large_cap: int) -> DataFrame:
     )
 
 
+def tier_stats(
+    extents: DataFrame, level: int = DEFAULT_LEVEL, large_cap: int = DEFAULT_LARGE_CAP
+) -> DataFrame:
+    """Observability for the two-tier join strategy: per (is_large, split)
+    tier — row count, total and max covering-cell count.  These are the
+    numbers that tell you whether the broadcast tier still fits a broadcast
+    at your corpus scale (a runaway whole-world fraction shows up here
+    before it shows up as an OOM)."""
+
+    ext = _with_tier(extents, level, large_cap)
+    return ext.groupBy("is_large", "split").agg(
+        F.count("*").alias("n_extents"),
+        F.sum("n_cells").alias("total_cells"),
+        F.max("n_cells").alias("max_cells"),
+    )
+
+
 def cover_cells(extents: DataFrame, level: int = DEFAULT_LEVEL) -> DataFrame:
     """Exploded (cell, doc) covering index — the tile-assignment operator.
     ``part``/``split`` columns (antimeridian parts from extents_df) pass

@@ -160,6 +160,26 @@ def test_antimeridian_crossing_boxes(spark):
     assert len(res) == len({(r.point_id, r.doc_id) for r in res}) == 6
 
 
+def test_tier_stats_observability(extents, spark):
+    """tier_stats reports the whole-world (large) tier the corpus plants
+    (1/97 docs) and flags crossing boxes as their own slice."""
+    from gmx.geometry import tier_stats
+
+    rows = {(r.is_large, r.split): r for r in tier_stats(extents).collect()}
+    assert (False, False) in rows and (True, False) in rows
+    small, large = rows[(False, False)], rows[(True, False)]
+    assert small.n_extents > large.n_extents > 0
+    assert large.max_cells > 64  # whole-world coverings exceed the cap
+
+    meta = spark.createDataFrame(
+        [("x", "iso", ("170", "-10", "-170", "10"))],
+        "doc_id string, standard string, "
+        "bounding_box struct<west:string,south:string,east:string,north:string>",
+    )
+    cross = {(r.is_large, r.split) for r in tier_stats(extents_df(meta)).collect()}
+    assert cross == {(True, True)}  # both parts routed to the broadcast tier
+
+
 def test_aqe_skew_join_splits_planted_hot_cell(spark):
     """Turns the documented skew story into a proven one: with salting OFF
     and one planted hot cell (every extent in the same half-degree cell),
