@@ -42,6 +42,20 @@ from gmx.geometry.cellgrid import (
 
 DEFAULT_LARGE_CAP = 64  # coverings above this many cells go to the broadcast tier
 
+# Count-budgeted overflow (the 10^12-doc mechanism, PLANS.md §11): when the
+# broadcast tier exceeds ``large_budget`` rows it cannot be a broadcast —
+# ~400 GB at a 10^12-doc whole-world fraction of 1/97.  Over budget, the
+# non-split large extents are routed through a COARSE-cell equi-join
+# instead: both sides explode their covering at OVERFLOW_LEVEL (whole-world
+# = 16 cells at level 2), the index side is salted OVERFLOW_SALT ways for
+# parallelism beyond the handful of coarse keys, and the same exact refine +
+# reference-point dedup applies.  Budget=None (default) skips the tier-count
+# job entirely and keeps the plain broadcast — callers at corpus scale set a
+# budget (and should cache the extents input, since deciding costs one count
+# over it).
+OVERFLOW_LEVEL = 2
+OVERFLOW_SALT = 8
+
 
 def _with_tier(extents: DataFrame, level: int, large_cap: int) -> DataFrame:
     size = covering_size_expr(F.col("west"), F.col("south"), F.col("east"), F.col("north"), level)

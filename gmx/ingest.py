@@ -124,6 +124,7 @@ def write_xml_files(serialized: DataFrame, out_dir: str, encoding: str = "utf-8"
     sanitized).  The declared charset matches what corpus_from_xml_files
     honors, so write -> re-ingest round-trips."""
 
+    import hashlib
     import os
     import re as _re
 
@@ -137,7 +138,12 @@ def write_xml_files(serialized: DataFrame, out_dir: str, encoding: str = "utf-8"
             # leading '_'/'.' files are invisible to Spark file sources
             # (metadata-file convention) — strip so re-ingest sees them
             safe = _re.sub(r"[^A-Za-z0-9._-]", "_", row.doc_id).lstrip("_.")
-            name = (safe or "doc") + ".xml"
+            if safe != row.doc_id:
+                # sanitization can collide distinct ids ('a/b' vs 'a_b') or
+                # empty out entirely — suffix a stable hash of the original
+                tag = hashlib.sha1(row.doc_id.encode()).hexdigest()[:10]
+                safe = (safe + "-" if safe else "") + tag
+            name = safe + ".xml"
             decl = f"<?xml version='1.0' encoding='{declared}'?>\n"
             with open(os.path.join(out_dir, name), "wb") as fh:
                 fh.write((decl + row.xml).encode(encoding))

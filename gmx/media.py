@@ -176,8 +176,12 @@ def media_embeddings(media: DataFrame, dim: int = 16) -> DataFrame:
         for pdf in batches:
             vecs = []
             for p in pdf["payload"]:
-                raw = np.frombuffer(bytes(p)[: dim * 4], dtype=np.uint8).astype(np.float64)
-                raw = raw.reshape(-1, 4).mean(axis=1) - 127.5  # "pooled features"
+                buf = np.frombuffer(bytes(p)[: dim * 4], dtype=np.uint8)
+                if len(buf) % 4 or not len(buf):
+                    # short/ragged payloads: zero-pad to a whole 4-byte group
+                    # so reshape can't kill the Arrow worker
+                    buf = np.pad(buf, (0, 4 - len(buf) % 4 if len(buf) % 4 else 4))
+                raw = buf.astype(np.float64).reshape(-1, 4).mean(axis=1) - 127.5  # "pooled features"
                 raw = raw / max(float(np.linalg.norm(raw)), 1e-9)
                 vecs.append(raw.astype(np.float32).tolist())
             yield pd.DataFrame({

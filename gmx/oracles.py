@@ -219,8 +219,8 @@ m AS (
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
 s AS (
   SELECT user_id, ts_us,
-         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                        ROWS UNBOUNDED PRECEDING) AS session_seq
+         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
   FROM m)
 SELECT user_id, session_seq, count(*) AS n_events,
        min(ts_us) AS start_us, max(ts_us) AS end_us
@@ -395,6 +395,10 @@ SELECT doc_id,
        END AS fingerprint
 FROM documents"""
 
+    # mirrors ngram_jaccard_pairs exactly INCLUDING the df_cap=10000 stop-
+    # shingle prune (candidates only from shingles with document frequency
+    # <= cap; verify still uses the full arrays) — ADVICE r2: engine and
+    # oracle must prune identically or a corpus crossing the cap diverges
     o["dedup_ngram_jaccard"] = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
 s AS (
@@ -404,14 +408,18 @@ s AS (
                                   for i in range(1, len(words)-1)])
               ELSE [array_to_string(words, ' ')] END AS sh
   FROM w),
-e AS (SELECT doc_id, len(sh) AS n_sh, UNNEST(sh) AS g FROM s),
-pairs AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS na, b.n_sh AS nb,
-         count(*) AS inter
-  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3, 4)
+e AS (SELECT doc_id, UNNEST(sh) AS g FROM s),
+hot AS (SELECT g FROM e GROUP BY g HAVING count(*) > 10000),
+ep AS (SELECT doc_id, g FROM e ANTI JOIN hot USING (g)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM ep a JOIN ep b ON a.g = b.g AND a.doc_id < b.doc_id),
+v AS (
+  SELECT a_id, b_id, len(sa.sh) AS na, len(sb.sh) AS nb,
+         len(list_intersect(sa.sh, sb.sh)) AS inter
+  FROM cand JOIN s sa ON sa.doc_id = a_id JOIN s sb ON sb.doc_id = b_id)
 SELECT a_id, b_id, CAST(inter*1000 // (na+nb-inter) AS BIGINT) AS jaccard_per_mille
-FROM pairs WHERE inter*1000 // (na+nb-inter) >= 100"""
+FROM v WHERE inter*1000 // (na+nb-inter) >= 100"""
 
     # full MinHash-LSH dataflow with the portable polynomial shingle hash:
     # shingles -> 16 permuted minhashes -> 4 band keys -> candidates sharing

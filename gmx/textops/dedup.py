@@ -206,6 +206,7 @@ def ngram_jaccard_pairs(
     shingle: int = 3,
     threshold: float = 0.5,
     df_cap: int = 10_000,
+    verify_mode: str = "join_back",
 ) -> DataFrame:
     """N-gram Jaccard near-dup pairs via a df-pruned shingle inverted index.
 
@@ -223,7 +224,18 @@ def ngram_jaccard_pairs(
     intersection is stop shingles; with Jaccard >= t a pair shares at least
     t/(1+t)*(|A|+|B|) shingles, so this needs that many corpus-hot n-grams in
     one document — document + cap choice make it negligible, and the planted
-    hot-shingle test pins the behavior."""
+    hot-shingle test pins the behavior.
+
+    ``verify_mode`` picks the shuffle trade (PLANS.md §11), mirroring
+    minhash_pairs:
+    - "join_back" (default — the 100 TB shape): the inverted index carries
+      KEYS ONLY (doc_id, shingle); deduped candidate pairs then join the
+      full shingle arrays back by doc id, so each document's array moves
+      once per candidate side instead of once per shingle.  Without this, a
+      doc with S shingles ships S copies of its S-element array into the
+      self-join — O(S²) bytes per doc.
+    - "ride": arrays ride the explode (one fewer corpus shuffle; only sane
+      when documents are tiny).  Identical results (pytest-pinned)."""
 
     sh = _shingles(text_col, shingle)
     base = docs.select("doc_id", sh.alias("shingles"))
@@ -236,21 +248,41 @@ def ngram_jaccard_pairs(
         .filter(F.col("df") > df_cap)
         .select("shingle")
     )
-    inv = (
-        base.select("doc_id", "shingles", F.explode("shingles").alias("shingle"))
-        .join(F.broadcast(hot), "shingle", "left_anti")
-    )
-    a, b = inv.alias("a"), inv.alias("b")
-    cand = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            F.col("a.shingles").alias("sa"),
-            F.col("b.shingles").alias("sb"),
+    if verify_mode == "join_back":
+        keys = (
+            base.select("doc_id", F.explode("shingles").alias("shingle"))
+            .join(F.broadcast(hot), "shingle", "left_anti")
         )
-        .dropDuplicates(["a_id", "b_id"])
-    )
+        a, b = keys.alias("a"), keys.alias("b")
+        pairs = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+            .dropDuplicates(["a_id", "b_id"])
+        )
+        cand = (
+            pairs.join(
+                base.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sa")), "a_id"
+            )
+            .join(
+                base.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sb")), "b_id"
+            )
+        )
+    else:
+        inv = (
+            base.select("doc_id", "shingles", F.explode("shingles").alias("shingle"))
+            .join(F.broadcast(hot), "shingle", "left_anti")
+        )
+        a, b = inv.alias("a"), inv.alias("b")
+        cand = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(
+                F.col("a.doc_id").alias("a_id"),
+                F.col("b.doc_id").alias("b_id"),
+                F.col("a.shingles").alias("sa"),
+                F.col("b.shingles").alias("sb"),
+            )
+            .dropDuplicates(["a_id", "b_id"])
+        )
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size("sa") + F.size("sb") - inter
     jac = (inter.cast("long") * 1000 / union).cast("long")

@@ -143,14 +143,21 @@ def update_document(
 
 def _sections(root: ET.Element) -> list[str]:
     """Top-level section split of an existing tree (same span contract as
-    serialize_sections, which only handles freshly built roots)."""
+    serialize_sections, which only handles freshly built roots).
+
+    The root open tag is serialized through ElementTree so attributes on
+    the root element (e.g. a schemaLocation that survived namespace
+    stripping) are preserved — a bare f-string dropped them."""
 
     tag = root.tag
+    shell = ET.Element(tag, dict(root.attrib))
     kids = list(root)
     if not kids:
-        return [f"<{tag} />"]
+        return [to_string(shell)]
+    long_form = ET.tostring(shell, encoding="unicode", short_empty_elements=False)
+    open_tag = long_form[: -len(tag) - 3]  # strip the trailing </tag>
     parts = [to_string(k) for k in kids]
-    parts[0] = f"<{tag}>" + parts[0]
+    parts[0] = open_tag + parts[0]
     parts[-1] = parts[-1] + f"</{tag}>"
     return parts
 

@@ -20,10 +20,13 @@ TABLES = (
 
 
 def norm_cell(v) -> str:
+    # STRICT stringification — no integral-float normalization.  Round 2
+    # lesson: normalizing "7.0" -> "7" here masked an oracle HUGEINT->float
+    # type bug that the driver's gate (which stringifies raw) caught, so the
+    # local twin silently disagreed with the gate of record.  A type
+    # divergence between Spark and DuckDB must FAIL locally too.
     if v is None:
         return ""
-    if isinstance(v, float) and v.is_integer():
-        return str(int(v))
     return str(v)
 
 
