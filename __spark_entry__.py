@@ -6,10 +6,8 @@
 ``queries`` — one entry per implemented operator (SURVEY.md §2 ids noted in
               gmx.queries docstrings).
 ``oracle_sql`` — DuckDB SQL recomputing expected outputs from corpus
-              arithmetic (gmx.oracles); omitted only for hash-based ops the
-              oracle engine cannot reproduce (the media codec stub; IVF's
-              numpy coarse-quantizer assignment) — those get rows-only
-              checks.
+              arithmetic (gmx.oracles); omitted only for the media codec
+              stub (container-constrained) — it gets a rows-only check.
 """
 
 from __future__ import annotations

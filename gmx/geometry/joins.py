@@ -88,6 +88,60 @@ def tier_stats(
     )
 
 
+def _coarse_explode(df: DataFrame, level: int, extra: list[str] | None = None) -> DataFrame:
+    """Explode a bbox frame over its coarse-cell covering (overflow tier)."""
+
+    return df.select(
+        *(extra or df.columns),
+        F.explode(
+            covering_expr(F.col("west"), F.col("south"), F.col("east"), F.col("north"), level)
+        ).alias("ccell"),
+    )
+
+
+def _salt_replicate(df: DataFrame, salt: int) -> DataFrame:
+    """Replicate index rows ``salt`` ways (fragment side of a
+    fragment-replicate join — probes route by hash, replicas by explode)."""
+
+    return df.withColumn("osalt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+
+
+def _overflow_pairs(
+    l_ns: DataFrame, others: DataFrame, overflow_level: int, salt: int
+) -> DataFrame:
+    """Coarse-cell equi-join replacing the broadcast for an over-budget
+    large tier: overflow extents (replicated ``salt`` ways) join counterpart
+    extents routed by doc-id hash; exact overlap refine + reference-point
+    dedup at the coarse level; overflow x overflow pairs emit from the
+    lexicographically-smaller side only.  ``others`` must carry
+    ``is_overflow`` marking rows that are ALSO in the overflow tier."""
+
+    cols = ["doc_id", "west", "south", "east", "north"]
+    lidx = _salt_replicate(_coarse_explode(l_ns.select(*cols), overflow_level, cols), salt)
+    ridx = _coarse_explode(
+        others.select(*cols, "is_overflow"), overflow_level, cols + ["is_overflow"]
+    ).withColumn("osalt", F.pmod(F.hash("doc_id"), F.lit(salt)))
+
+    l, o = lidx.alias("l"), ridx.alias("o")
+    corner_ix = cell_ix_expr(F.greatest("l.west", "o.west"), overflow_level)
+    corner_iy = cell_iy_expr(F.greatest("l.south", "o.south"), overflow_level)
+    return (
+        l.join(
+            o,
+            (F.col("l.ccell") == F.col("o.ccell"))
+            & (F.col("l.osalt") == F.col("o.osalt"))
+            & (F.col("l.doc_id") != F.col("o.doc_id"))
+            & _overlap("l", "o")
+            & (F.col("l.ccell") == cell_id_expr(overflow_level, corner_ix, corner_iy))
+            & (~F.col("o.is_overflow") | (F.col("l.doc_id") < F.col("o.doc_id"))),
+        )
+        .select(
+            F.least("l.doc_id", "o.doc_id").alias("a_id"),
+            F.greatest("l.doc_id", "o.doc_id").alias("b_id"),
+        )
+    )
+
+
 def cover_cells(extents: DataFrame, level: int = DEFAULT_LEVEL) -> DataFrame:
     """Exploded (cell, doc) covering index — the tile-assignment operator.
     ``part``/``split`` columns (antimeridian parts from extents_df) pass
@@ -116,11 +170,21 @@ def bbox_overlap_pairs(
     extents: DataFrame,
     level: int = DEFAULT_LEVEL,
     large_cap: int = DEFAULT_LARGE_CAP,
+    large_budget: int | None = None,
+    overflow_level: int = OVERFLOW_LEVEL,
+    overflow_salt: int = OVERFLOW_SALT,
 ) -> DataFrame:
     """All distinct overlapping pairs (a_id < b_id) among extents.
 
     small x small: cell equi-join + reference-point dedup (no distinct).
     large x anything: broadcast nested-loop over the (tiny) large tier.
+
+    ``large_budget``: when set and the non-split large tier exceeds that many
+    rows, the tier is NOT broadcast — it routes through the salted
+    coarse-cell equi-join (:func:`_overflow_pairs`) so the broadcast size
+    stays bounded by the (rare) antimeridian-split rows alone.  Deciding
+    costs one ``limit(budget+1).count()`` job over the tier, so callers
+    should cache ``extents``; ``None`` (default) skips the probe.
     """
 
     ext = _with_tier(extents, level, large_cap)
@@ -151,9 +215,21 @@ def bbox_overlap_pairs(
     # inputs are split BEFORE joining so the heavy non-split stream is joined
     # exactly once with no dedup shuffle (filtering the join OUTPUT twice
     # would re-execute the broadcast join per branch).
-    other = ext.select("doc_id", "west", "south", "east", "north", "is_large", "split")
     l_ns = large.filter(~F.col("split"))
     l_s = large.filter(F.col("split"))
+    overflow = (
+        large_budget is not None
+        and l_ns.limit(large_budget + 1).count() > large_budget
+    )
+    other = ext.select(
+        "doc_id", "west", "south", "east", "north", "is_large", "split"
+    ).withColumn(
+        # rows that live in the overflow tier (emitted there, so the split
+        # broadcast must emit their pairs with split rows regardless of
+        # doc-id order — the coarse join's right side excludes split rows)
+        "is_overflow",
+        F.lit(overflow) & F.col("is_large") & ~F.col("split"),
+    )
 
     def ljoin(o_side: DataFrame, l_side: DataFrame) -> DataFrame:
         o, l = o_side.alias("o"), l_side.alias("l")
@@ -162,7 +238,11 @@ def bbox_overlap_pairs(
                 F.broadcast(l),
                 _overlap("l", "o")
                 & (F.col("o.doc_id") != F.col("l.doc_id"))
-                & (~F.col("o.is_large") | (F.col("o.doc_id") > F.col("l.doc_id"))),
+                & (
+                    ~F.col("o.is_large")
+                    | F.col("o.is_overflow")
+                    | (F.col("o.doc_id") > F.col("l.doc_id"))
+                ),
             )
             .select(
                 F.least("l.doc_id", "o.doc_id").alias("a_id"),
@@ -170,12 +250,21 @@ def bbox_overlap_pairs(
             )
         )
 
-    large_pairs = ljoin(other.filter(~F.col("split")), l_ns)
-    split_pairs = (
-        ljoin(other.filter(F.col("split")), l_ns)
-        .unionByName(ljoin(other, l_s))
-        .dropDuplicates(["a_id", "b_id"])
-    )
+    if overflow:
+        # non-split large tier: salted coarse-cell join vs small + itself
+        large_pairs = _overflow_pairs(
+            l_ns, other.filter(~F.col("split")), overflow_level, overflow_salt
+        )
+        # split tier (still broadcast — bounded): pairs with EVERYTHING,
+        # including overflow rows in either doc-id order
+        split_pairs = ljoin(other, l_s).dropDuplicates(["a_id", "b_id"])
+    else:
+        large_pairs = ljoin(other.filter(~F.col("split")), l_ns)
+        split_pairs = (
+            ljoin(other.filter(F.col("split")), l_ns)
+            .unionByName(ljoin(other, l_s))
+            .dropDuplicates(["a_id", "b_id"])
+        )
 
     return small_pairs.unionByName(large_pairs).unionByName(split_pairs)
 
@@ -186,10 +275,18 @@ def point_in_bbox(
     level: int = DEFAULT_LEVEL,
     large_cap: int = DEFAULT_LARGE_CAP,
     salt: int | None = None,
+    large_budget: int | None = None,
+    overflow_level: int = OVERFLOW_LEVEL,
+    overflow_salt: int = OVERFLOW_SALT,
 ) -> DataFrame:
     """(point_id, doc_id) pairs where the point lies inside the doc extent
     (closed intervals).  Two-tier like the overlap join; optional salting
-    replicates the small-tier index ``salt`` ways for residual hot cells."""
+    replicates the small-tier index ``salt`` ways for residual hot cells.
+
+    ``large_budget``: over budget, the ENTIRE large tier (split parts are
+    plain rectangles for containment — no pair-dedup hazard) probes through
+    the salted coarse-cell equi-join instead of a broadcast: each point maps
+    to exactly one coarse cell, so no dedup is needed."""
 
     ext = _with_tier(extents, level, large_cap)
     small = ext.filter(~F.col("is_large"))
@@ -212,13 +309,30 @@ def point_in_bbox(
     small_hits = (
         pts.join(idx, on=keys).filter(contains).select("point_id", "doc_id")
     )
-    large_hits = (
-        points.join(
-            F.broadcast(large),
-            (F.col("west") <= F.col("lon")) & (F.col("lon") <= F.col("east"))
-            & (F.col("south") <= F.col("lat")) & (F.col("lat") <= F.col("north")),
-        ).select("point_id", "doc_id")
-    )
+    if (
+        large_budget is not None
+        and large.limit(large_budget + 1).count() > large_budget
+    ):
+        cols = ["doc_id", "west", "south", "east", "north"]
+        lidx = _salt_replicate(
+            _coarse_explode(large, overflow_level, cols), overflow_salt
+        )
+        pts_c = points.withColumn(
+            "ccell", point_cell_expr(F.col("lon"), F.col("lat"), overflow_level)
+        ).withColumn("osalt", F.pmod(F.hash("point_id"), F.lit(overflow_salt)))
+        large_hits = (
+            pts_c.join(lidx, on=["ccell", "osalt"])
+            .filter(contains)
+            .select("point_id", "doc_id")
+        )
+    else:
+        large_hits = (
+            points.join(
+                F.broadcast(large),
+                (F.col("west") <= F.col("lon")) & (F.col("lon") <= F.col("east"))
+                & (F.col("south") <= F.col("lat")) & (F.col("lat") <= F.col("north")),
+            ).select("point_id", "doc_id")
+        )
     return small_hits.unionByName(large_hits)
 
 
@@ -353,10 +467,17 @@ def tile_extent_join(
     extents: DataFrame,
     level: int = DEFAULT_LEVEL,
     large_cap: int = DEFAULT_LARGE_CAP,
+    large_budget: int | None = None,
+    overflow_level: int = OVERFLOW_LEVEL,
+    overflow_salt: int = OVERFLOW_SALT,
 ) -> DataFrame:
     """(tile_id, doc_id) pairs where a raster tile's footprint overlaps a doc
     extent.  ``tiles`` needs (tile_id, z, x, y) on the equirectangular grid;
-    the tile bbox is closed-form, then the same tiered filter-and-refine."""
+    the tile bbox is closed-form, then the same tiered filter-and-refine.
+
+    ``large_budget``: over budget, the non-split large tier joins tiles
+    through the salted coarse-cell equi-join with reference-point dedup
+    (split parts stay broadcast — bounded by crossing-box rarity)."""
 
     tz = F.pow(F.lit(2.0), F.col("z"))
     tbox = tiles.select(
@@ -393,11 +514,39 @@ def tile_extent_join(
     # a tile can overlap both parts of an antimeridian-crossing box; the
     # split slice joins separately (near-empty input) and dedups there, so
     # the non-split broadcast join runs once with no dedup shuffle
-    large_hits = (
-        tbox.alias("t")
-        .join(F.broadcast(large.filter(~F.col("split")).alias("d")), _overlap("t", "d"))
-        .select("tile_id", "doc_id")
-    )
+    l_ns = large.filter(~F.col("split"))
+    if (
+        large_budget is not None
+        and l_ns.limit(large_budget + 1).count() > large_budget
+    ):
+        dcols = ["doc_id", "west", "south", "east", "north"]
+        didx = _salt_replicate(
+            _coarse_explode(l_ns.select(*dcols), overflow_level, dcols), overflow_salt
+        ).alias("d")
+        tcols = ["tile_id", "west", "south", "east", "north"]
+        tidx = (
+            _coarse_explode(tbox.select(*tcols), overflow_level, tcols)
+            .withColumn("osalt", F.pmod(F.hash("tile_id"), F.lit(overflow_salt)))
+            .alias("t")
+        )
+        c_ix = cell_ix_expr(F.greatest("t.west", "d.west"), overflow_level)
+        c_iy = cell_iy_expr(F.greatest("t.south", "d.south"), overflow_level)
+        large_hits = (
+            tidx.join(
+                didx,
+                (F.col("t.ccell") == F.col("d.ccell"))
+                & (F.col("t.osalt") == F.col("d.osalt"))
+                & _overlap("t", "d")
+                & (F.col("t.ccell") == cell_id_expr(overflow_level, c_ix, c_iy)),
+            )
+            .select("tile_id", "doc_id")
+        )
+    else:
+        large_hits = (
+            tbox.alias("t")
+            .join(F.broadcast(l_ns.alias("d")), _overlap("t", "d"))
+            .select("tile_id", "doc_id")
+        )
     split_hits = (
         tbox.alias("t")
         .join(F.broadcast(large.filter(F.col("split")).alias("d")), _overlap("t", "d"))

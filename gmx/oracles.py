@@ -548,4 +548,47 @@ scored AS (
   FROM cand c JOIN n qn ON qn.vec_id = c.qid JOIN n nn ON nn.vec_id = c.nid)
 SELECT qid AS query_id, rank, nid AS neighbor_id FROM scored WHERE rank <= 5"""
 
+    # ann_ivf_topk twin (assign_mode='int'): stride-sampled centroids
+    # (vec_id % 37, first 16 by id), coarse assignment by the monotone image
+    # of cosine sign(dot)*dot^2/|c|^2 over QUANTIZED integers (one IEEE
+    # divide, ties on centroid index), corpus in list prank=1, queries probe
+    # prank<=4, exact integer scoring — mirrors similarity.ann_ivf_topk
+    o["ann_ivf_topk"] = """
+WITH q AS (
+  SELECT vec_id,
+         [CAST(floor(CAST(embedding[i] AS DOUBLE)*1000 + 0.5) AS BIGINT)
+          for i in range(1, len(embedding)+1)] AS v
+  FROM embeddings),
+n AS (SELECT vec_id, v, CAST(list_sum([x*x for x in v]) AS BIGINT) AS nrm FROM q),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx, v AS cv,
+         CAST(list_sum([x*x for x in v]) AS BIGINT) AS cn
+  FROM (SELECT vec_id, v FROM n WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT 16)),
+ass AS (
+  SELECT n.vec_id, n.v, n.nrm, cent.idx, cent.cn,
+         CAST(list_sum([n.v[i]*cent.cv[i] for i in range(1, len(n.v)+1)]) AS BIGINT) AS cdot
+  FROM n CROSS JOIN cent),
+rankedc AS (
+  SELECT vec_id, v, nrm, idx,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY CAST(sign(cdot) AS DOUBLE) * CAST(cdot*cdot AS DOUBLE)
+                    / CAST(cn AS DOUBLE) DESC, idx ASC) AS prank
+  FROM ass),
+corpus AS (SELECT vec_id AS nid, v AS nv, nrm AS nn, idx AS list_id
+           FROM rankedc WHERE prank = 1),
+qr AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, idx AS list_id
+       FROM rankedc WHERE vec_id % 100 = 0 AND prank <= 4),
+p AS (
+  SELECT qid, nid,
+         CAST(list_sum([qv[i]*nv[i] for i in range(1, len(qv)+1)]) AS BIGINT) AS dot,
+         qn, nn
+  FROM qr JOIN corpus USING (list_id) WHERE nid <> qid)
+SELECT qid AS query_id, rank, nid AS neighbor_id FROM (
+  SELECT qid, nid,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY CAST(dot AS DOUBLE)/sqrt(CAST(qn*nn AS DOUBLE)) DESC, nid ASC) AS rank
+  FROM p) WHERE rank <= 5"""
+
     return o

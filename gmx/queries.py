@@ -486,8 +486,12 @@ def ann_lsh_topk(spark, sf_dir):
 
 def ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-k (second scale path: inverted lists from
-    stride-sampled coarse centroids, numpy-vectorized assignment; recall vs
-    exact asserted in tests — rows-only check here)."""
+    stride-sampled coarse centroids).  Integer assign_mode so the coarse
+    quantizer is DuckDB-reproducible and the whole dataflow is hash-gated
+    (production default stays the numpy matmul; recall vs exact and
+    int==float agreement asserted in tests)."""
     from gmx.textops.similarity import ann_ivf_topk as _ivf
 
-    return _ivf(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=KNN_K)
+    return _ivf(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=KNN_K, assign_mode="int"
+    )

@@ -276,6 +276,7 @@ def ann_ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_mode: str = "float",
 ) -> DataFrame:
     """Approximate top-k via an inverted-file (IVF) index — the second scale
     path next to LSH: a small set of coarse centroids partitions the corpus
@@ -288,7 +289,18 @@ def ann_ivf_topk(
     training pass; at 100 TB the sample is a driver-side collect of
     ``lists`` rows).  Assignment is an Arrow-batched pandas UDF doing one
     numpy matmul per batch — vectorized, no per-row Python.  Recall vs the
-    exact ``cosine_topk`` is asserted in tests."""
+    exact ``cosine_topk`` is asserted in tests.
+
+    ``assign_mode`` (like the dedup ops' hash_mode):
+    - "float" (default, production): numpy matmul over unit-normalized
+      float64 — fast, but the summation order is not reproducible in SQL.
+    - "int": coarse assignment ranks centroids by
+      sign(dot) * dot^2 / |c|^2 over the QUANTIZED integer vectors (the
+      monotone image of cosine — |v| cancels across centroids), evaluated as
+      one exact-integer dot per centroid plus a correctly-rounded IEEE
+      divide; ties break on centroid index.  Bit-identical in DuckDB, so
+      the whole IVF dataflow is oracle-gatable.  Both modes pick the same
+      lists except when two centroids tie to double precision."""
 
     from pyspark.sql import Window
 
@@ -314,19 +326,43 @@ def ann_ivf_topk(
             F.lit(1).cast("int").alias("rank"),
             F.col("nid").alias("neighbor_id"),
         ).limit(0)
-    C = np.asarray([r["nvec"] for r in cents], dtype=np.float64)
-    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    if assign_mode == "int":
+        cent_vecs = [[int(x) for x in r["nvec"]] for r in cents]
+        ranked = []
+        for i, c in enumerate(cent_vecs):
+            nc = sum(x * x for x in c) or 1
+            cdot = F.aggregate(
+                F.zip_with(
+                    F.col("nvec"),
+                    F.array(*[F.lit(x).cast("long") for x in c]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            # sign(dot) * dot^2 / |c|^2: exact integer numerator (bounded by
+            # (dim * QUANT^2)^2 << 2^63), one IEEE divide; negated so the
+            # lexicographic struct sort is (best-first, then centroid index)
+            neg = -(F.signum(cdot.cast("double")) * (cdot * cdot).cast("double") / F.lit(float(nc)))
+            ranked.append(F.struct(neg.alias("nis"), F.lit(i).alias("idx")))
+        probes_expr = F.transform(
+            F.slice(F.array_sort(F.array(*ranked)), 1, nprobe), lambda s: s["idx"]
+        )
+        assigned = base.withColumn("probes", probes_expr)
+    else:
+        C = np.asarray([r["nvec"] for r in cents], dtype=np.float64)
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 
-    @F.pandas_udf("array<int>")
-    def probe_lists(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:  # empty Arrow batch: np.stack would raise
-            return pd.Series([], dtype=object)
-        V = np.stack(vecs.to_numpy()).astype(np.float64)
-        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-        order = np.argsort(-(Vn @ Cn.T), kind="stable", axis=1)[:, :nprobe]
-        return pd.Series([row.astype(np.int32).tolist() for row in order])
+        @F.pandas_udf("array<int>")
+        def probe_lists(vecs: pd.Series) -> pd.Series:
+            if len(vecs) == 0:  # empty Arrow batch: np.stack would raise
+                return pd.Series([], dtype=object)
+            V = np.stack(vecs.to_numpy()).astype(np.float64)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            order = np.argsort(-(Vn @ Cn.T), kind="stable", axis=1)[:, :nprobe]
+            return pd.Series([row.astype(np.int32).tolist() for row in order])
 
-    assigned = base.withColumn("probes", probe_lists("nvec"))
+        assigned = base.withColumn("probes", probe_lists("nvec"))
     corpus = assigned.withColumn("list_id", F.col("probes")[0]).drop("probes")
     queries = (
         assigned.filter(F.pmod(F.col("nid"), F.lit(query_mod)) == 0)

@@ -160,6 +160,134 @@ def test_antimeridian_crossing_boxes(spark):
     assert len(res) == len({(r.point_id, r.doc_id) for r in res}) == 6
 
 
+def test_count_budgeted_overflow_tier(extents, boxes, points, spark):
+    """large_budget=0 forces the whole-world tier (planted 1/97 in the
+    corpus) off the broadcast and through the salted coarse-cell equi-join;
+    results must be identical to the broadcast path for all three joins, and
+    the overflow plan must actually contain the coarse-cell join (ccell)."""
+
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(boxes), 2)
+        if boxes[a][0] <= boxes[b][2] and boxes[b][0] <= boxes[a][2]
+        and boxes[a][1] <= boxes[b][3] and boxes[b][1] <= boxes[a][3]
+    }
+    over = bbox_overlap_pairs(extents, large_budget=0)
+    got = [(r.a_id, r.b_id) for r in over.collect()]
+    assert len(got) == len(set(got)), "overflow path emitted duplicate pairs"
+    assert set(got) == want
+    plan = over._jdf.queryExecution().optimizedPlan().toString()
+    assert "ccell" in plan  # the coarse join is really in the plan
+    default_plan = bbox_overlap_pairs(extents)._jdf.queryExecution().optimizedPlan().toString()
+    assert "ccell" not in default_plan  # and absent under the budget-less default
+
+    pts, df = points
+    want_pts = {
+        (k, d)
+        for (k, x, y) in pts
+        for d, (w, s, e, n) in boxes.items()
+        if w <= x <= e and s <= y <= n
+    }
+    got_pts = {
+        (r.point_id, r.doc_id)
+        for r in point_in_bbox(df, extents, large_budget=0).collect()
+    }
+    assert got_pts == want_pts
+
+    tiles = [(f"t3-{x}-{y}", 3, x, y) for x in range(8) for y in range(8)]
+    tdf = spark.createDataFrame(tiles, "tile_id string, z int, x int, y int")
+    want_tiles = set()
+    for t, z, x, y in tiles:
+        tw, ts = -180 + x * 360 / 2**z, -90 + y * 180 / 2**z
+        te, tn = tw + 360 / 2**z, ts + 180 / 2**z
+        for d, (w, s, e, n) in boxes.items():
+            if tw <= e and w <= te and ts <= n and s <= tn:
+                want_tiles.add((t, d))
+    got_tiles = [
+        (r.tile_id, r.doc_id)
+        for r in tile_extent_join(tdf, extents, large_budget=0).collect()
+    ]
+    assert len(got_tiles) == len(set(got_tiles))
+    assert set(got_tiles) == want_tiles
+
+    # under budget: the probe runs but the broadcast path is kept
+    assert set(
+        (r.a_id, r.b_id)
+        for r in bbox_overlap_pairs(extents, large_budget=10**9).collect()
+    ) == want
+
+
+def test_overflow_tier_with_split_boxes(spark):
+    """Forced overflow on a corpus that ALSO has antimeridian-split parts:
+    the split slice stays broadcast and pair emission remains exactly-once
+    even when a counterpart overlaps both parts and an overflow row pairs
+    with a split row in either doc-id order."""
+
+    boxes = {
+        "band": (-180.0, -20.0, 180.0, 20.0),   # whole-world -> overflow tier
+        "cross": (170.0, -10.0, -170.0, 10.0),  # split parts (broadcast)
+        "east": (175.0, -5.0, 179.0, 5.0),
+        "far": (0.0, 40.0, 10.0, 50.0),
+        "west2": (-179.0, -5.0, -175.0, 5.0),
+        "zband": (-180.0, -25.0, 180.0, 25.0),  # second overflow row, doc_id AFTER cross
+    }
+    meta = spark.createDataFrame(
+        [(d, "iso", tuple(str(v) for v in b)) for d, b in boxes.items()],
+        "doc_id string, standard string, "
+        "bounding_box struct<west:string,south:string,east:string,north:string>",
+    )
+    ext = extents_df(meta)
+
+    def lon_parts(w, e):
+        return [(w, e)] if w <= e else [(w, 180.0), (-180.0, e)]
+
+    def olap(a, b):
+        lon = any(
+            pw <= qe and qw <= pe
+            for pw, pe in lon_parts(a[0], a[2])
+            for qw, qe in lon_parts(b[0], b[2])
+        )
+        return lon and a[1] <= b[3] and b[1] <= a[3]
+
+    want = {
+        (x, y)
+        for x, y in itertools.combinations(sorted(boxes), 2)
+        if olap(boxes[x], boxes[y])
+    }
+    for budget in (None, 0):
+        got = [
+            (r.a_id, r.b_id)
+            for r in bbox_overlap_pairs(ext, large_budget=budget).collect()
+        ]
+        assert len(got) == len(set(got)), f"duplicates at budget={budget}"
+        assert set(got) == want, f"wrong pairs at budget={budget}"
+
+    tdf = spark.createDataFrame(
+        [("t0-0-0", 0, 0, 0)], "tile_id string, z int, x int, y int"
+    )
+    tj = [
+        (r.tile_id, r.doc_id)
+        for r in tile_extent_join(tdf, ext, large_budget=0).collect()
+    ]
+    assert sorted(tj) == sorted({("t0-0-0", d) for d in boxes})
+
+    pdf = spark.createDataFrame(
+        [(1, 179.0, 0.0), (2, -179.0, 0.0), (3, 5.0, 45.0)],
+        "point_id long, lon double, lat double",
+    )
+    want_pts = {
+        (pid, d)
+        for pid, x, y in ((1, 179.0, 0.0), (2, -179.0, 0.0), (3, 5.0, 45.0))
+        for d, b in boxes.items()
+        if any(pw <= x <= pe for pw, pe in lon_parts(b[0], b[2])) and b[1] <= y <= b[3]
+    }
+    got_pts = {
+        (r.point_id, r.doc_id)
+        for r in point_in_bbox(pdf, ext, large_budget=0).collect()
+    }
+    assert got_pts == want_pts
+
+
 def test_tier_stats_observability(extents, spark):
     """tier_stats reports the whole-world (large) tier the corpus plants
     (1/97 docs) and flags crossing boxes as their own slice."""

@@ -208,6 +208,21 @@ def test_ann_ivf_recall_vs_exact(spark, sf_dir):
     assert all(c <= 5 for c in per_q.values())
 
 
+def test_ann_ivf_assign_modes_agree(spark, sf_dir):
+    """The DuckDB-reproducible integer coarse assignment (gate mode) picks
+    the same lists as the numpy float path — the two modes are the same
+    quantizer up to double-precision centroid ties, and the corpus has
+    none, so results must match exactly."""
+    from gmx.textops.similarity import ann_ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    flt = {(r.query_id, r.rank, r.neighbor_id)
+           for r in ann_ivf_topk(emb, assign_mode="float").collect()}
+    ints = {(r.query_id, r.rank, r.neighbor_id)
+            for r in ann_ivf_topk(emb, assign_mode="int").collect()}
+    assert flt == ints and len(flt) > 0
+
+
 def test_ann_ivf_degenerate_corpora(spark, sf_dir):
     """IVF must survive corpora the stride sample misses, and empty input."""
     from gmx.textops.similarity import ann_ivf_topk
