@@ -34,11 +34,12 @@ SPATIAL = ("extract", "tile_cover", "bbox_overlap", "point_in_bbox", "knn", "til
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # default local[16], not local[32]: the sandbox host carries a variable
-    # external load (loadavg ~8-15 with nothing of ours running), so claiming
-    # all 32 CPUs oversubscribes and measurably thrashes (extraction ~2x
-    # slower at 32 than at 16 under load); 16 stays inside free capacity
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    # default local[32] (the driver's config): width-32 thrash is fixed in
+    # gmx.session by spark.task.cpus=2 — each Arrow-stage task is a JVM
+    # thread + a Python worker, so 32 tasks on 32 cores ran 64 runnable
+    # threads and degenerated into kernel time (measured 44-68% sys CPU,
+    # 3-10x wall-time swings); 16 two-CPU task slots match local[16] timing
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     scale = int(os.environ.get("GMX_BENCH_SCALE", "40"))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -107,32 +108,58 @@ def main() -> None:
     warm_ext.unpersist()
 
     # ---- timed runs
+    # The sandbox host shows BURSTY hypervisor CPU steal (measured up to 35%
+    # for ~2-minute windows, with 3-10x wall-time swings on identical runs).
+    # A single-shot measurement landing in a steal window misstates the
+    # engine by the same factor, so each query is timed GMX_BENCH_REPS times
+    # (default 3, identical uncached work each rep) and the MEDIAN is
+    # reported; the full per-query distributions ride in the JSON so the
+    # spread is visible, not hidden.
+    # Reps are INTERLEAVED round-robin across queries (not 3x per query
+    # consecutively): the steal bursts last ~2 minutes, so back-to-back reps
+    # of one query all land in the same burst, while a full round takes
+    # longer than a burst and decorrelates each query's reps.
+    reps = int(os.environ.get("GMX_BENCH_REPS", "3"))
     times: dict[str, float] = {}
+    dists: dict[str, list[float]] = {}
 
-    def timed(name: str, fn):
+    def timed_once(name: str, fn):
         t0 = time.time()
         out = fn()
-        times[name] = round(time.time() - t0, 3)
+        dists.setdefault(name, []).append(round(time.time() - t0, 3))
         return out
 
     # the spatial pipeline consumes only the bounding box: declare the
     # projection so the extraction pass prunes the other ~75 chain
     # resolutions per doc and the catalog join (projection pushdown into
-    # the Python stage — Catalyst cannot see through mapInPandas)
-    meta = P.metadata_from_corpus(corpus, persist=False, props={"bounding_box"}).persist()
-    n_docs = timed("extract", meta.count)
-
+    # the Python stage — Catalyst cannot see through mapInPandas).
+    # meta itself is NEVER persisted: the cache manager substitutes cached
+    # data into any identical plan, which would turn the timed extraction
+    # reps into cache reads.  Downstream queries only need ext, so only ext
+    # is cached (its cached plan is not a subtree of the extraction count).
+    meta = P.metadata_from_corpus(corpus, persist=False, props={"bounding_box"})
     ext = extents_df(meta).persist()
     ext.count()
+    n_docs = 0
 
-    timed("tile_cover", cover_cells(ext, 4).count)
-    timed("bbox_overlap", bbox_overlap_pairs(ext).count)
-    timed("point_in_bbox", lambda: point_in_bbox(pts, ext, salt=4).count())
-    timed("knn", lambda: knn_points(pts, ext).count())
-    timed("tile_join", lambda: tile_extent_join(tiles, ext).count())
-
-    timed("minhash_dedup", lambda: minhash_pairs(raw_docs, threshold=0.1).count())
-    timed("ann_cosine", lambda: cosine_topk(emb).count())
+    queries = [
+        ("extract", lambda: P.metadata_from_corpus(
+            corpus, persist=False, props={"bounding_box"}).count()),
+        ("tile_cover", cover_cells(ext, 4).count),
+        ("bbox_overlap", bbox_overlap_pairs(ext).count),
+        ("point_in_bbox", lambda: point_in_bbox(pts, ext, salt=4).count()),
+        ("knn", lambda: knn_points(pts, ext).count()),
+        ("tile_join", lambda: tile_extent_join(tiles, ext).count()),
+        ("minhash_dedup", lambda: minhash_pairs(raw_docs, threshold=0.1).count()),
+        ("ann_cosine", lambda: cosine_topk(emb).count()),
+    ]
+    for _ in range(reps):
+        for name, fn in queries:
+            out = timed_once(name, fn)
+            if name == "extract":
+                n_docs = out
+    for name, _fn in queries:
+        times[name] = sorted(dists[name])[(len(dists[name]) - 1) // 2]
 
     # in-place update at scale 1 (full-property extraction + patch + re-span;
     # fixed-size auxiliary op like dedup/ANN, excluded from the headline)
@@ -142,12 +169,14 @@ def main() -> None:
     upd_corpus = P.corpus_df(spark, sf_dir).persist()
     upd_meta = P.metadata_from_corpus(upd_corpus, persist=False).persist()
     upd_meta.count()  # extraction cost not charged to the update op
-    timed(
-        "update_inplace",
-        lambda: update_corpus_df(
-            upd_corpus, upd_meta.withColumn("title", F.concat("title", F.lit(" v2")))
-        ).count(),
-    )
+    for _ in range(reps):
+        timed_once(
+            "update_inplace",
+            lambda: update_corpus_df(
+                upd_corpus, upd_meta.withColumn("title", F.concat("title", F.lit(" v2")))
+            ).count(),
+        )
+    times["update_inplace"] = sorted(dists["update_inplace"])[(reps - 1) // 2]
     upd_corpus.unpersist()
     upd_meta.unpersist()
 
@@ -164,6 +193,8 @@ def main() -> None:
         "extract_docs_per_sec": round(n_docs / times["extract"], 1),
         "cpus": cpus,
         "scale": scale,
+        "reps": reps,
+        "query_dists": dists,
     }))
     spark.stop()
 

@@ -181,6 +181,119 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def sessionize_stateful_watermarked(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "0 seconds"
+) -> DataFrame:
+    """TRUE stream-semantics sessionization: emits CLOSED sessions only.
+
+    Unlike :func:`sessionize_stateful` (which flushes the open session at
+    every drain — right for a one-shot batch drain, wrong for a continuous
+    stream), this variant keeps each user's open session in state and closes
+    it in exactly two ways:
+
+    1. a later event for the same user arrives with a gap > ``gap_minutes``;
+    2. the event-time watermark passes ``session_end + gap`` — an
+       ``EventTimeTimeout`` fires in a subsequent micro-batch and emits the
+       session even if the user never sends another event.
+
+    A session still open when the stream stops is never emitted (it lives in
+    the checkpoint for the next run) — append-mode semantics, the streaming
+    twin of what windowed aggregation does with late windows.  After a
+    timeout the user's ``session_seq`` continues (state keeps the counter
+    with no open session), so seq never restarts mid-stream."""
+
+    gap_us = gap_minutes * 60_000_000
+    gap_ms = gap_minutes * 60_000
+    cols = ["user_id", "session_seq", "n_events", "start_us", "end_us"]
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, end_us, n_events, seq = state.get
+            # keep the seq counter, drop the open session
+            state.update((-1, -1, 0, seq + 1))
+            yield pd.DataFrame(
+                [(user_id, seq, n_events, start_us, end_us)], columns=cols
+            )
+            return
+        if state.exists:
+            start_us, end_us, n_events, seq = state.get
+        else:
+            start_us = end_us = -1
+            n_events = 0
+            seq = 0
+        out = []
+        ts = sorted(
+            t
+            for pdf in pdfs
+            for t in (pdf["ts"].astype("int64") // 1000).tolist()  # ns -> us
+        )
+        for t in ts:
+            if start_us < 0:
+                start_us, end_us, n_events = t, t, 1
+            elif t - end_us > gap_us:
+                out.append((user_id, seq, n_events, start_us, end_us))
+                seq += 1
+                start_us, end_us, n_events = t, t, 1
+            else:
+                end_us = t
+                n_events += 1
+        state.update((start_us, end_us, n_events, seq))
+        if start_us >= 0:
+            # close the open session when the watermark passes end + gap;
+            # the timeout target must sit above the current watermark
+            state.setTimeoutTimestamp(
+                max(end_us // 1000 + gap_ms + 1, state.getCurrentWatermarkMs() + 1)
+            )
+        yield pd.DataFrame(out, columns=cols)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def sessionize_stream_watermarked(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap_minutes: int = 30,
+    watermark: str = "0 seconds",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drive the watermarked sessionizer over a file stream, one file per
+    micro-batch (``maxFilesPerTrigger``) so a multi-file directory exercises
+    real cross-batch state + watermark advancement, then stop."""
+
+    events = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+    )
+    q = (
+        sessionize_stateful_watermarked(events, gap_minutes, watermark)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def sessionize_stream(
     spark: SparkSession,
     events_dir: str,

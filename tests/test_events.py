@@ -76,6 +76,56 @@ def test_stream_windowed_counts_equal_batch(spark, sf_dir, events, tmp_path):
     )
 
 
+def test_watermarked_sessionizer_emits_closed_only(spark, tmp_path):
+    """True stream semantics on a 2-batch split: sessions close by gap (a
+    later event arrives) or by watermark timeout (no later event, watermark
+    passed end+gap); sessions still open when the stream stops are NOT
+    emitted.  Emitted sessions must agree with the batch plan exactly."""
+
+    import datetime as dt
+    import time
+
+    from gmx.events import sessionize_stream_watermarked
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+    def ev(eid, uid, sec):
+        return (eid, base + dt.timedelta(seconds=sec), uid, "click", 1.0, "{}")
+
+    us = lambda sec: int((base + dt.timedelta(seconds=sec)).timestamp() * 1_000_000)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = str(tmp_path / "wm_src")
+    out = str(tmp_path / "wm_out")
+    ckpt = str(tmp_path / "wm_ckpt")
+    # batch 1: u1 two events (one session), u2 one early event; max ts 1600s
+    batch1 = [ev(1, 1, 1000), ev(2, 2, -1000), ev(3, 1, 1600)]
+    # batch 2: u1 event after the 30-min gap (closes u1 s0), u3 opens; both
+    # above the batch-1 watermark (1600s, delay 0) so nothing is late-dropped
+    batch2 = [ev(4, 1, 10000), ev(5, 3, 9000)]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # distinct mtimes: file order = batch order
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    sessionize_stream_watermarked(spark, src, out, ckpt)
+    got = {(r.user_id, r.session_seq, r.n_events, r.start_us, r.end_us)
+           for r in spark.read.parquet(out).collect()}
+    # u1 s0 closed by gap on arrival of event 4; u2 s0 closed by timeout in
+    # batch 2 (timeout at -1000+1800=800s < watermark 1600s); u1 s1 and u3 s0
+    # still open at stream end -> absent
+    assert got == {
+        (1, 0, 2, us(1000), us(1600)),
+        (2, 0, 1, us(-1000), us(-1000)),
+    }
+    # and every emitted session matches the batch plan row-for-row
+    all_events = spark.createDataFrame(batch1 + batch2, schema)
+    batch_sessions = {(r.user_id, r.session_seq, r.n_events, r.start_us, r.end_us)
+                      for r in sessionize(all_events).collect()}
+    assert got <= batch_sessions
+
+
 def test_stateful_sessionizer_equals_batch(spark, sf_dir, events, tmp_path):
     src = str(tmp_path / "se_src")
     out = str(tmp_path / "se_out")

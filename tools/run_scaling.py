@@ -21,7 +21,10 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def run_bench(cpus: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    # single rep per bench invocation: THIS script's interleaved
+    # median-of-reps across legs is the de-noising layer here; bench.py's
+    # internal reps would triple each leg's wall time for no extra signal
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), GMX_BENCH_REPS="1")
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
         env=env, capture_output=True, text=True, check=True,
