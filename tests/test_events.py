@@ -126,6 +126,55 @@ def test_watermarked_sessionizer_emits_closed_only(spark, tmp_path):
     assert got <= batch_sessions
 
 
+def test_watermarked_sessionizer_resumes_from_checkpoint(spark, tmp_path):
+    """Resumability: run the watermarked sessionizer, STOP, add more input,
+    run again with the same checkpoint — open-session state and the
+    watermark survive in the checkpoint, so the second run closes sessions
+    exactly as a continuous stream would (no duplicates, no seq restart)."""
+
+    import datetime as dt
+    import time
+
+    from gmx.events import sessionize_stream_watermarked
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+    def ev(eid, uid, sec):
+        return (eid, base + dt.timedelta(seconds=sec), uid, "click", 1.0, "{}")
+
+    us = lambda sec: int((base + dt.timedelta(seconds=sec)).timestamp() * 1_000_000)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = str(tmp_path / "rs_src")
+    out = str(tmp_path / "rs_out")
+    ckpt = str(tmp_path / "rs_ckpt")
+
+    spark.createDataFrame(
+        [ev(1, 1, 1000), ev(2, 2, -1000), ev(3, 1, 1600)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    sessionize_stream_watermarked(spark, src, out, ckpt)
+    # availableNow runs a trailing timer batch after the data drains: u2's
+    # session (end -1000s, timeout 800s) is already behind the watermark
+    # (1600s) and closes; u1's session (end 1600s) stays open in state
+    first = {(r.user_id, r.session_seq) for r in spark.read.parquet(out).collect()}
+    assert first == {(2, 0)}
+
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [ev(4, 1, 10000), ev(5, 3, 9000)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    sessionize_stream_watermarked(spark, src, out, ckpt)
+
+    got = {(r.user_id, r.session_seq, r.n_events, r.start_us, r.end_us)
+           for r in spark.read.parquet(out).collect()}
+    assert got == {
+        (1, 0, 2, us(1000), us(1600)),  # closed by event 4 after restart
+        (2, 0, 1, us(-1000), us(-1000)),  # closed by the restored watermark
+    }
+
+
 def test_stateful_sessionizer_equals_batch(spark, sf_dir, events, tmp_path):
     src = str(tmp_path / "se_src")
     out = str(tmp_path / "se_out")

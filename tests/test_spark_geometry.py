@@ -360,6 +360,61 @@ def test_aqe_skew_join_splits_planted_hot_cell(spark):
                 spark.conf.set(k, v)
 
 
+def test_bucketed_cell_index_joins(spark, extents, boxes, points, tmp_path):
+    """Bucketed index tables make repeated spatial joins shuffle-free: the
+    index self-join's physical plan has NO Exchange (bucket metadata
+    co-locates both sides), and results equal the on-the-fly joins."""
+
+    from gmx.geometry.bucketed import (
+        bbox_overlap_pairs_from_index,
+        index_self_join,
+        point_in_bbox_from_index,
+        write_cell_index,
+    )
+
+    table = "gmx_test_cellidx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_large")
+    write_cell_index(extents, table, str(tmp_path / "cellidx"))
+
+    # at corpus scale the index self-join is a sort-merge join; the test
+    # table is broadcast-sized, so pin SMJ to expose the bucketed scan
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sj = index_self_join(spark, table)
+        plan = sj._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:3000]  # the whole point of bucketing
+        assert "Bucketed: true" in plan, plan[:3000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(boxes), 2)
+        if boxes[a][0] <= boxes[b][2] and boxes[b][0] <= boxes[a][2]
+        and boxes[a][1] <= boxes[b][3] and boxes[b][1] <= boxes[a][3]
+    }
+    got = [(r.a_id, r.b_id) for r in bbox_overlap_pairs_from_index(spark, table).collect()]
+    assert len(got) == len(set(got))
+    assert set(got) == want
+
+    pts, df = points
+    want_pts = {
+        (k, d)
+        for (k, x, y) in pts
+        for d, (w, s, e, n) in boxes.items()
+        if w <= x <= e and s <= y <= n
+    }
+    got_pts = {
+        (r.point_id, r.doc_id)
+        for r in point_in_bbox_from_index(spark, df, table).collect()
+    }
+    assert got_pts == want_pts
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_large")
+
+
 def test_cover_cells_match_oracle(extents, boxes):
     import math
 
