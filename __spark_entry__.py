@@ -81,9 +81,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": Q.dedup_minhash_lsh,
         "dedup_simhash": Q.dedup_simhash,
         "ann_lsh_topk": Q.ann_lsh_topk,
-        # rows-only (media codec stub; IVF's numpy centroid assignment)
-        "media_decode_stub": Q.media_decode_stub,
         "ann_ivf_topk": Q.ann_ivf_topk,
+        "dedup_clusters": Q.dedup_clusters,
+        "sample_stratified": Q.sample_stratified,
+        # rows-only (media codec stub — container-constrained)
+        "media_decode_stub": Q.media_decode_stub,
     }
 
 

@@ -423,9 +423,10 @@ FROM v WHERE inter*1000 // (na+nb-inter) >= 100"""
 
     # full MinHash-LSH dataflow with the portable polynomial shingle hash:
     # shingles -> 16 permuted minhashes -> 4 band keys -> candidates sharing
-    # any band -> exact Jaccard verify — mirrors minhash_pairs(hash_mode=poly)
-    o["dedup_minhash_lsh"] = """
-WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+    # any band -> exact Jaccard verify — mirrors minhash_pairs(hash_mode=poly).
+    # The CTE chain is shared with dedup_clusters (which clusters the same
+    # pair set).
+    minhash_cte = """w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
 s AS (SELECT doc_id,
         CASE WHEN len(words)>=3
              THEN list_distinct([array_to_string(words[i:i+2],' ') for i in range(1,len(words)-1)])
@@ -444,12 +445,52 @@ bk AS (SELECT doc_id, sh, UNNEST(
                       (a,x) -> (a*1000003+x) % 1099511627776) for b in range(0,4)]) AS key
       FROM sig),
 cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS sa, b.sh AS sb
-         FROM bk a JOIN bk b ON a.key = b.key AND a.doc_id < b.doc_id)
+         FROM bk a JOIN bk b ON a.key = b.key AND a.doc_id < b.doc_id)"""
+
+    o["dedup_minhash_lsh"] = f"""
+WITH {minhash_cte}
 SELECT a_id, b_id,
        CAST(len(list_intersect(sa,sb))*1000 // (len(sa)+len(sb)-len(list_intersect(sa,sb))) AS BIGINT)
          AS jaccard_per_mille
 FROM cand
 WHERE len(list_intersect(sa,sb))*1000 // (len(sa)+len(sb)-len(list_intersect(sa,sb))) >= 100"""
+
+    # dedup_clusters twin: same pair set, components via recursive-CTE
+    # transitive closure, representative = lexicographic min of the
+    # component (matches min-label propagation exactly at convergence)
+    o["dedup_clusters"] = f"""
+WITH RECURSIVE {minhash_cte},
+p AS (SELECT a_id, b_id FROM cand
+      WHERE len(list_intersect(sa,sb))*1000 // (len(sa)+len(sb)-len(list_intersect(sa,sb))) >= 100),
+eg AS (SELECT a_id AS src, b_id AS dst FROM p
+       UNION SELECT b_id, a_id FROM p),
+reach(src, dst) AS (
+  SELECT src, dst FROM eg
+  UNION
+  SELECT r.src, e2.dst FROM reach r JOIN eg e2 ON r.dst = e2.src)
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+FROM reach GROUP BY src"""
+
+    o["sample_stratified"] = f"""
+WITH scored AS (SELECT doc_id, {score_exprs} FROM documents),
+best AS (SELECT *, greatest(s_en, s_es, s_de, s_fr) AS b FROM scored),
+lang AS (
+  SELECT doc_id,
+         CASE WHEN b = 0 THEN 'und'
+              WHEN s_en = b THEN 'en'
+              WHEN s_es = b THEN 'es'
+              WHEN s_de = b THEN 'de'
+              ELSE 'fr' END AS lang_guess
+  FROM best),
+k AS (
+  SELECT doc_id, lang_guess,
+         list_reduce(list_prepend(0::BIGINT,
+             list_transform(regexp_split_to_array(CAST(doc_id AS VARCHAR),''),
+                            c -> unicode(c)::BIGINT)),
+             (a,x) -> (a*1000003+x) % 2147483647) % 1000 AS sample_bucket
+  FROM lang)
+SELECT doc_id, lang_guess, CAST(sample_bucket AS BIGINT) AS sample_bucket
+FROM k WHERE sample_bucket < CASE WHEN lang_guess = 'en' THEN 500 ELSE 100 END"""
 
     # 64-bit SimHash from two 32-bit codepoint polynomials (bits 0-31 /
     # 32-63), sign-aggregated per bit; bucket = top 16 bits (computed from

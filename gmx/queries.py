@@ -484,6 +484,27 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+def dedup_clusters(spark, sf_dir):
+    """Connected components over MinHash-LSH near-dup pairs -> cluster
+    assignment (doc_id, cluster_rep) — iterative min-label propagation;
+    the DuckDB twin computes the same components via a recursive-CTE
+    transitive closure over the identical pair set (portable poly hash)."""
+    from gmx.textops.dedup import dup_clusters
+
+    return dup_clusters(
+        minhash_pairs(_docs(spark, sf_dir), threshold=0.1, hash_mode="poly")
+    )
+
+
+def sample_stratified(spark, sf_dir):
+    """Deterministic hash-based stratified sampling by language stratum
+    (en kept at 500/1000, others 100/1000) — reproducible training-data
+    subsetting as pure expressions."""
+    from gmx.textops.quality import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir))
+
+
 def ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-k (second scale path: inverted lists from
     stride-sampled coarse centroids).  Integer assign_mode so the coarse

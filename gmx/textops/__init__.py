@@ -1,11 +1,18 @@
 from gmx.textops.dedup import (
+    dup_clusters,
     exact_dup_groups,
     minhash_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_buckets,
 )
-from gmx.textops.quality import lang_id, quality_scores, rolling_fingerprint, token_counts
+from gmx.textops.quality import (
+    lang_id,
+    quality_scores,
+    rolling_fingerprint,
+    stratified_sample,
+    token_counts,
+)
 from gmx.textops.similarity import (
     ann_ivf_topk,
     ann_lsh_topk,
@@ -16,8 +23,9 @@ from gmx.textops.similarity import (
 )
 
 __all__ = [
-    "ann_ivf_topk", "ann_lsh_topk", "cosine_topk", "embedding_near_dup",
-    "embedding_near_dup_lsh", "exact_dup_groups", "lang_id", "lsh_buckets",
-    "minhash_pairs", "minhash_signatures", "ngram_jaccard_pairs",
-    "quality_scores", "rolling_fingerprint", "simhash_buckets", "token_counts",
+    "ann_ivf_topk", "ann_lsh_topk", "cosine_topk", "dup_clusters",
+    "embedding_near_dup", "embedding_near_dup_lsh", "exact_dup_groups",
+    "lang_id", "lsh_buckets", "minhash_pairs", "minhash_signatures",
+    "ngram_jaccard_pairs", "quality_scores", "rolling_fingerprint",
+    "simhash_buckets", "stratified_sample", "token_counts",
 ]

@@ -292,6 +292,69 @@ def ngram_jaccard_pairs(
     )
 
 
+def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs: (doc_id, cluster_rep)
+    with cluster_rep = the smallest doc id in the component (by the id
+    column's natural ordering).  A dedup PIPELINE needs cluster assignment, not just pairs —
+    keep-one-per-cluster is a filter on ``doc_id != cluster_rep``.
+
+    Algorithm: iterative min-label propagation — each round every node takes
+    the minimum of its own label and its neighbors' labels (one equi-join +
+    map-side-combined min agg per round), terminating when a round changes
+    nothing (cheap ``limit(1).isEmpty`` probe, like kNN's escalation).
+    Rounds needed = graph diameter; near-dup clusters are shallow (most are
+    cliques or stars from one shared band), so this converges in 2-4 rounds.
+    For adversarial long-chain graphs the same join primitives compose into
+    large-star/small-star alternation (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14) with O(log^2 n) rounds — a parameter
+    of the loop body, not a redesign.
+
+    Only documents that appear in some pair are emitted (singletons are
+    their own cluster by definition — emitting 10^12 identity rows would
+    dwarf the real output)."""
+
+    sym = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    edges = sym.unionByName(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), "lbl"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+            .select(F.col("src").alias("node"), "nbr_lbl")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
+            )
+            .persist()
+        )
+        converged = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .isEmpty()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if converged:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_rep"))
+
+
 def simhash_buckets(
     docs: DataFrame, text_col: str = "text", prefix_bits: int = 16,
     hash_mode: str = "xxhash64",

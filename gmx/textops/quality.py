@@ -65,6 +65,42 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return scored.select("doc_id", guess.alias("lang_guess"))
 
 
+def stratified_sample(
+    docs: DataFrame,
+    rates_per_mille: dict[str, int] | None = None,
+    default_per_mille: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic per-stratum sampling for training-data mixes: stratum =
+    language guess (``lang_id``), a document is kept when
+    ``poly_hash(doc_id) % 1000 < rate(stratum)``.
+
+    Hash-based (not ``df.sample``): the decision is a pure function of
+    doc_id, so the sample is reproducible across runs/cluster sizes, stable
+    under re-partitioning, and joinable (the same doc is always in or always
+    out).  Per-stratum rates are how real pipelines rebalance a corpus (e.g.
+    upweight low-resource languages).  Everything is codegen'd expressions;
+    the codepoint-polynomial hash is the oracle-portable one used by the
+    dedup ops.  Returns (doc_id, lang_guess, sample_bucket)."""
+
+    from gmx.textops.dedup import _poly_hash
+
+    rates = {"en": 500} if rates_per_mille is None else rates_per_mille
+    lang = lang_id(docs, text_col)
+    bucket = F.pmod(
+        _poly_hash(F.col("doc_id").cast("string"), (1 << 31) - 1),
+        F.lit(1000).cast("long"),
+    )
+    rate = F.lit(default_per_mille).cast("long")
+    for lg, r in sorted(rates.items()):
+        rate = F.when(F.col("lang_guess") == lg, F.lit(r).cast("long")).otherwise(rate)
+    return (
+        lang.withColumn("sample_bucket", bucket)
+        .filter(F.col("sample_bucket") < rate)
+        .select("doc_id", "lang_guess", "sample_bucket")
+    )
+
+
 def rolling_fingerprint(docs: DataFrame, text_col: str = "text", mod: int = 1 << 40) -> DataFrame:
     """Order-sensitive document fingerprint: polynomial rolling hash over the
     text's unicode codepoints (fp = sum cp_i * B^(n-i) mod 2^40), folded with

@@ -208,6 +208,41 @@ def test_ann_ivf_recall_vs_exact(spark, sf_dir):
     assert all(c <= 5 for c in per_q.values())
 
 
+def test_dup_clusters_connected_components(spark):
+    """Min-label propagation finds exact components, including a long chain
+    (forces multiple propagation rounds) and separate components."""
+    from gmx.textops.dedup import dup_clusters
+
+    # chain 1-2-3-4-5-6-7 (diameter 6 -> several rounds) + pair 10-11
+    pairs = [(i, i + 1) for i in range(1, 7)] + [(10, 11)]
+    pdf = spark.createDataFrame(pairs, "a_id long, b_id long")
+    got = {(r.doc_id, r.cluster_rep) for r in dup_clusters(pdf).collect()}
+    want = {(i, 1) for i in range(1, 8)} | {(10, 10), (11, 10)}
+    assert got == want
+
+
+def test_stratified_sample_deterministic_and_stratified(spark, sf_dir):
+    from gmx.textops.quality import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {(r.doc_id, r.lang_guess, r.sample_bucket)
+         for r in stratified_sample(docs).collect()}
+    b = {(r.doc_id, r.lang_guess, r.sample_bucket)
+         for r in stratified_sample(docs).collect()}
+    assert a == b and len(a) > 0  # pure function of doc_id: reproducible
+    # rate monotonicity: a lower default rate yields a subset
+    low = {r.doc_id for r in
+           stratified_sample(docs, default_per_mille=50).collect()}
+    assert low <= {x[0] for x in a}
+    # per-stratum override really applies per stratum
+    en_only = {r.doc_id for r in
+               stratified_sample(docs, rates_per_mille={"en": 1000},
+                                 default_per_mille=0).collect()}
+    langs = {r.doc_id: r.lang_guess
+             for r in stratified_sample(docs, rates_per_mille={}, default_per_mille=1000).collect()}
+    assert en_only == {d for d, lg in langs.items() if lg == "en"}
+
+
 def test_ann_ivf_assign_modes_agree(spark, sf_dir):
     """The DuckDB-reproducible integer coarse assignment (gate mode) picks
     the same lists as the numpy float path — the two modes are the same
