@@ -182,7 +182,10 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
 
 def sessionize_stateful_watermarked(
-    events: DataFrame, gap_minutes: int = 30, watermark: str = "0 seconds"
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "0 seconds",
+    idle_state_retention_minutes: int = 24 * 60,
 ) -> DataFrame:
     """TRUE stream-semantics sessionization: emits CLOSED sessions only.
 
@@ -200,18 +203,40 @@ def sessionize_stateful_watermarked(
     the checkpoint for the next run) — append-mode semantics, the streaming
     twin of what windowed aggregation does with late windows.  After a
     timeout the user's ``session_seq`` continues (state keeps the counter
-    with no open session), so seq never restarts mid-stream."""
+    with no open session), so seq never restarts mid-stream; that sentinel
+    state is itself dropped once the user has been idle for
+    ``idle_state_retention_minutes`` past the watermark (a TTL — without it
+    every user that ever timed out would hold a state-store row forever,
+    which is unbounded growth at corpus-scale user cardinality; a user
+    returning after the TTL restarts at seq 0, standard retention
+    semantics).
+
+    Late events within the watermark are merged by interval arithmetic
+    (``min(start)``/``max(end)``) — an in-order assumption would let a late
+    event REWIND the open session's end and corrupt the next gap test.
+    Merging into the open session is exact whenever the watermark delay is
+    <= the session gap (any admitted late event is then within ``gap`` of
+    some session event); configure ``watermark`` <= ``gap_minutes`` to stay
+    in that regime."""
 
     gap_us = gap_minutes * 60_000_000
     gap_ms = gap_minutes * 60_000
+    retention_ms = idle_state_retention_minutes * 60_000
     cols = ["user_id", "session_seq", "n_events", "start_us", "end_us"]
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         (user_id,) = key
         if state.hasTimedOut:
             start_us, end_us, n_events, seq = state.get
-            # keep the seq counter, drop the open session
+            if start_us < 0:
+                # sentinel (seq-only) state reached its retention TTL
+                state.remove()
+                yield pd.DataFrame([], columns=cols)
+                return
+            # emit the closed session; keep the seq counter as a sentinel
+            # with a retention timeout so it cannot leak forever
             state.update((-1, -1, 0, seq + 1))
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + retention_ms)
             yield pd.DataFrame(
                 [(user_id, seq, n_events, start_us, end_us)], columns=cols
             )
@@ -236,7 +261,10 @@ def sessionize_stateful_watermarked(
                 seq += 1
                 start_us, end_us, n_events = t, t, 1
             else:
-                end_us = t
+                # late-but-in-watermark events may precede the open
+                # session's bounds: widen the interval, never rewind it
+                start_us = min(start_us, t)
+                end_us = max(end_us, t)
                 n_events += 1
         state.update((start_us, end_us, n_events, seq))
         if start_us >= 0:

@@ -13,6 +13,12 @@ bucketing info).  The tables are external (``option("path", ...)``) so the
 data lives where the caller says; on a real deployment these are Iceberg
 tables with a bucket partition transform and the same join shape.
 
+The grid ``level`` the index was written at is persisted as a table
+property (``gmx.cell_level``) and read back by the join functions — a
+caller re-supplying a mismatched level would silently drop pairs (the
+reference-corner predicate compares level-tagged cell ids), so the table
+itself is the source of truth.
+
 Reference: none (north-rule scale mechanism; the reference processes one
 document at a time and has no joins).
 """
@@ -21,8 +27,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from gmx.geometry.cellgrid import DEFAULT_LEVEL, cell_id_expr, cell_ix_expr, cell_iy_expr
-from gmx.geometry.joins import DEFAULT_LARGE_CAP, _overlap, _with_tier, cover_cells
+from gmx.geometry.cellgrid import (
+    DEFAULT_LEVEL,
+    cell_id_expr,
+    cell_ix_expr,
+    cell_iy_expr,
+    point_cell_expr,
+)
+from gmx.geometry.joins import (
+    DEFAULT_LARGE_CAP,
+    _large_tier_pairs,
+    _overlap,
+    _with_tier,
+    cover_cells,
+)
 
 
 def write_cell_index(
@@ -36,15 +54,15 @@ def write_cell_index(
     """Materialize the small-tier covering index as a bucketed+sorted table.
 
     Only the small tier is indexed (the large/split tier goes through the
-    broadcast or overflow path exactly as in the on-the-fly joins, and is
-    stored alongside as ``<table>_large`` — a tiny unbucketed table).
-    ``buckets`` must match between any two tables that will be joined
-    shuffle-free; at corpus scale pick buckets ~ O(cluster cores).
-    """
+    broadcast path exactly as in the on-the-fly joins, and is stored
+    alongside as ``<table>_large`` — a tiny unbucketed table).  The grid
+    level and bucket count are recorded as table properties; at corpus
+    scale pick buckets ~ O(cluster cores)."""
 
     ext = _with_tier(extents, level, large_cap)
     small = ext.filter(~F.col("is_large"))
     idx = cover_cells(small, level)
+    spark = extents.sparkSession
     (
         idx.write.mode("overwrite")
         .bucketBy(buckets, "cell")
@@ -52,6 +70,10 @@ def write_cell_index(
         .option("path", path)
         .format("parquet")
         .saveAsTable(table)
+    )
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES "
+        f"('gmx.cell_level'='{level}', 'gmx.buckets'='{buckets}')"
     )
     large = ext.filter(F.col("is_large")).select(
         "doc_id", "west", "south", "east", "north", "split"
@@ -64,12 +86,21 @@ def write_cell_index(
     )
 
 
-def index_self_join(spark: SparkSession, table: str, level: int = DEFAULT_LEVEL) -> DataFrame:
+def index_level(spark: SparkSession, table: str) -> int:
+    """The grid level the index table was written at (table property)."""
+
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    props = {r["key"]: r["value"] for r in rows}
+    return int(props["gmx.cell_level"])
+
+
+def index_self_join(spark: SparkSession, table: str) -> DataFrame:
     """The small x small overlap pairs from the bucketed index alone —
     both join inputs are bucketed scans of the same table, so the physical
     plan contains NO Exchange (asserted in tests): the per-query shuffle is
     gone."""
 
+    level = index_level(spark, table)
     idx = spark.table(table)
     a, b = idx.alias("a"), idx.alias("b")
     corner_ix = cell_ix_expr(F.greatest("a.west", "b.west"), level)
@@ -86,19 +117,19 @@ def index_self_join(spark: SparkSession, table: str, level: int = DEFAULT_LEVEL)
     )
 
 
-def bbox_overlap_pairs_from_index(spark: SparkSession, table: str, level: int = DEFAULT_LEVEL) -> DataFrame:
+def bbox_overlap_pairs_from_index(spark: SparkSession, table: str) -> DataFrame:
     """Self-join the bucketed index on ``cell``: same semantics as
     ``bbox_overlap_pairs`` (reference-point dedup, two-tier), but the
     small x small join consumes bucket metadata — ``.explain`` shows no
     Exchange under either join input (asserted in tests).  The shuffle was
-    paid once, at :func:`write_cell_index` time."""
+    paid once, at :func:`write_cell_index` time.  The large tier reuses the
+    SAME pair-assembly helper as the on-the-fly join (joins._large_tier_pairs)
+    so the dedup predicate cannot drift."""
 
-    small_pairs = index_self_join(spark, table, level)
+    small_pairs = index_self_join(spark, table)
 
     idx = spark.table(table)
     large = spark.table(f"{table}_large")
-    # distinct extents from the index (one row per (doc, part)) for the
-    # large-tier counterpart stream
     other_small = (
         idx.select("doc_id", "west", "south", "east", "north")
         .dropDuplicates(["doc_id"])  # small-tier docs carry one extent each
@@ -109,47 +140,22 @@ def bbox_overlap_pairs_from_index(spark: SparkSession, table: str, level: int = 
         large.withColumn("is_large", F.lit(True)).select(
             "doc_id", "west", "south", "east", "north", "is_large", "split"
         )
-    )
+    ).withColumn("is_overflow", F.lit(False))
     l_ns = large.filter(~F.col("split"))
     l_s = large.filter(F.col("split"))
-
-    def ljoin(o_side: DataFrame, l_side: DataFrame) -> DataFrame:
-        o, l = o_side.alias("o"), l_side.alias("l")
-        return (
-            o.join(
-                F.broadcast(l),
-                _overlap("l", "o")
-                & (F.col("o.doc_id") != F.col("l.doc_id"))
-                & (~F.col("o.is_large") | (F.col("o.doc_id") > F.col("l.doc_id"))),
-            )
-            .select(
-                F.least("l.doc_id", "o.doc_id").alias("a_id"),
-                F.greatest("l.doc_id", "o.doc_id").alias("b_id"),
-            )
-        )
-
-    large_pairs = ljoin(other.filter(~F.col("split")), l_ns)
-    split_pairs = (
-        ljoin(other.filter(F.col("split")), l_ns)
-        .unionByName(ljoin(other, l_s))
-        .dropDuplicates(["a_id", "b_id"])
-    )
-    return small_pairs.unionByName(large_pairs).unionByName(split_pairs)
+    return small_pairs.unionByName(_large_tier_pairs(other, l_ns, l_s))
 
 
 def point_in_bbox_from_index(
     spark: SparkSession,
     points: DataFrame,
     table: str,
-    level: int = DEFAULT_LEVEL,
-    buckets: int = 16,
 ) -> DataFrame:
     """Points vs the bucketed index: the index side reads WITHOUT an
     Exchange (bucket metadata); only the (small) point stream shuffles to
     the index's bucketing.  Same semantics as ``point_in_bbox``."""
 
-    from gmx.geometry.cellgrid import point_cell_expr
-
+    level = index_level(spark, table)
     idx = spark.table(table)
     pts = points.withColumn("cell", point_cell_expr(F.col("lon"), F.col("lat"), level))
     contains = (

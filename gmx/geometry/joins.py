@@ -142,6 +142,49 @@ def _overflow_pairs(
     )
 
 
+def _ljoin_large(o_side: DataFrame, l_side: DataFrame) -> DataFrame:
+    """Broadcast join of the large tier against a counterpart stream with
+    the pair-dedup rules: large x large emits in one doc-id order only,
+    EXCEPT counterparts living in the overflow tier (``is_overflow``), whose
+    pairs with broadcast rows must emit regardless of order (the coarse
+    overflow join's right side excludes split rows).  Shared by the on-the-
+    fly joins and the bucketed-index variants so the dedup predicate cannot
+    drift between them."""
+
+    o, l = o_side.alias("o"), l_side.alias("l")
+    return (
+        o.join(
+            F.broadcast(l),
+            _overlap("l", "o")
+            & (F.col("o.doc_id") != F.col("l.doc_id"))
+            & (
+                ~F.col("o.is_large")
+                | F.col("o.is_overflow")
+                | (F.col("o.doc_id") > F.col("l.doc_id"))
+            ),
+        )
+        .select(
+            F.least("l.doc_id", "o.doc_id").alias("a_id"),
+            F.greatest("l.doc_id", "o.doc_id").alias("b_id"),
+        )
+    )
+
+
+def _large_tier_pairs(other: DataFrame, l_ns: DataFrame, l_s: DataFrame) -> DataFrame:
+    """Standard (non-overflow) large-tier pair assembly: non-split large
+    rows join the non-split counterpart stream once (no dedup shuffle);
+    split-involved combinations route through separate near-empty joins and
+    dedup there."""
+
+    large_pairs = _ljoin_large(other.filter(~F.col("split")), l_ns)
+    split_pairs = (
+        _ljoin_large(other.filter(F.col("split")), l_ns)
+        .unionByName(_ljoin_large(other, l_s))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return large_pairs.unionByName(split_pairs)
+
+
 def cover_cells(extents: DataFrame, level: int = DEFAULT_LEVEL) -> DataFrame:
     """Exploded (cell, doc) covering index — the tile-assignment operator.
     ``part``/``split`` columns (antimeridian parts from extents_df) pass
@@ -231,25 +274,6 @@ def bbox_overlap_pairs(
         F.lit(overflow) & F.col("is_large") & ~F.col("split"),
     )
 
-    def ljoin(o_side: DataFrame, l_side: DataFrame) -> DataFrame:
-        o, l = o_side.alias("o"), l_side.alias("l")
-        return (
-            o.join(
-                F.broadcast(l),
-                _overlap("l", "o")
-                & (F.col("o.doc_id") != F.col("l.doc_id"))
-                & (
-                    ~F.col("o.is_large")
-                    | F.col("o.is_overflow")
-                    | (F.col("o.doc_id") > F.col("l.doc_id"))
-                ),
-            )
-            .select(
-                F.least("l.doc_id", "o.doc_id").alias("a_id"),
-                F.greatest("l.doc_id", "o.doc_id").alias("b_id"),
-            )
-        )
-
     if overflow:
         # non-split large tier: salted coarse-cell join vs small + itself
         large_pairs = _overflow_pairs(
@@ -257,16 +281,10 @@ def bbox_overlap_pairs(
         )
         # split tier (still broadcast — bounded): pairs with EVERYTHING,
         # including overflow rows in either doc-id order
-        split_pairs = ljoin(other, l_s).dropDuplicates(["a_id", "b_id"])
-    else:
-        large_pairs = ljoin(other.filter(~F.col("split")), l_ns)
-        split_pairs = (
-            ljoin(other.filter(F.col("split")), l_ns)
-            .unionByName(ljoin(other, l_s))
-            .dropDuplicates(["a_id", "b_id"])
-        )
+        split_pairs = _ljoin_large(other, l_s).dropDuplicates(["a_id", "b_id"])
+        return small_pairs.unionByName(large_pairs).unionByName(split_pairs)
 
-    return small_pairs.unionByName(large_pairs).unionByName(split_pairs)
+    return small_pairs.unionByName(_large_tier_pairs(other, l_ns, l_s))
 
 
 def point_in_bbox(

@@ -601,10 +601,17 @@ WITH q AS (
           for i in range(1, len(embedding)+1)] AS v
   FROM embeddings),
 n AS (SELECT vec_id, v, CAST(list_sum([x*x for x in v]) AS BIGINT) AS nrm FROM q),
+cent0 AS (SELECT vec_id, v FROM n WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT 16),
+centsrc AS (
+  SELECT vec_id, v FROM cent0
+  UNION ALL
+  SELECT vec_id, v FROM (SELECT vec_id, v FROM n ORDER BY vec_id LIMIT 16)
+  WHERE NOT EXISTS (SELECT 1 FROM cent0)),
 cent AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx, v AS cv,
-         CAST(list_sum([x*x for x in v]) AS BIGINT) AS cn
-  FROM (SELECT vec_id, v FROM n WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT 16)),
+         CASE WHEN CAST(list_sum([x*x for x in v]) AS BIGINT) = 0 THEN 1
+              ELSE CAST(list_sum([x*x for x in v]) AS BIGINT) END AS cn
+  FROM centsrc),
 ass AS (
   SELECT n.vec_id, n.v, n.nrm, cent.idx, cent.cn,
          CAST(list_sum([n.v[i]*cent.cv[i] for i in range(1, len(n.v)+1)]) AS BIGINT) AS cdot

@@ -323,6 +323,7 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .withColumn("lbl", F.col("node"))
         .persist()
     )
+    converged = False
     for _ in range(max_iters):
         nbr_min = (
             edges.join(
@@ -352,6 +353,17 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         if converged:
             break
     edges.unpersist()
+    if not converged:
+        # exiting via range exhaustion means labels are still moving: some
+        # component's min-hop radius exceeds max_iters and the assignment
+        # would be silently WRONG (split components).  Fail loudly — raise
+        # max_iters, or switch the loop body to large-star/small-star for
+        # adversarial diameters.
+        labels.unpersist()
+        raise RuntimeError(
+            f"dup_clusters did not converge within max_iters={max_iters}; "
+            "a component's radius exceeds the round budget"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_rep"))
 
 
