@@ -36,6 +36,7 @@ from gmx.geometry.cellgrid import (
 )
 from gmx.geometry.joins import (
     DEFAULT_LARGE_CAP,
+    _knn_probe,
     _large_tier_pairs,
     _overlap,
     _with_tier,
@@ -84,6 +85,60 @@ def write_cell_index(
         .format("parquet")
         .saveAsTable(f"{table}_large")
     )
+
+
+def write_centroid_index(
+    extents: DataFrame,
+    table: str,
+    path: str,
+    level: int = 6,
+    buckets: int = 16,
+) -> None:
+    """Materialize the kNN centroid index (doc_id, cx, cy, cell) bucketed +
+    sorted by ``cell``.
+
+    One row per doc (antimeridian boxes contribute their eastern part, same
+    convention as :func:`gmx.geometry.joins.knn_points`); the finer default
+    level matches kNN's probe grid, not the covering index's.  Repeated kNN
+    workloads then read the centroid side of every probe join without an
+    Exchange — only the (small) point stream shuffles."""
+
+    base_ext = extents.filter(F.col("part") == 0) if "part" in extents.columns else extents
+    cents = base_ext.select(
+        "doc_id",
+        ((F.col("west") + F.col("east")) / 2).alias("cx"),
+        ((F.col("south") + F.col("north")) / 2).alias("cy"),
+    ).withColumn("cell", point_cell_expr(F.col("cx"), F.col("cy"), level))
+    (
+        cents.write.mode("overwrite")
+        .bucketBy(buckets, "cell")
+        .sortBy("cell")
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    extents.sparkSession.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES "
+        f"('gmx.cell_level'='{level}', 'gmx.buckets'='{buckets}')"
+    )
+
+
+def knn_from_index(
+    spark: SparkSession,
+    points: DataFrame,
+    table: str,
+    k: int = 5,
+    ring: int = 1,
+) -> DataFrame:
+    """kNN against the bucketed centroid index: same escalating-ring core
+    (and exact results) as ``knn_points``, but every round's probe join
+    consumes bucket metadata on the centroid side — the recurring shuffle
+    of the big table is paid once, at :func:`write_centroid_index` time.
+    The probe grid level comes from the table property."""
+
+    level = index_level(spark, table)
+    idx = spark.table(table)
+    return _knn_probe(points, idx.select("doc_id", "cx", "cy"), idx, k, level, ring)
 
 
 def index_level(spark: SparkSession, table: str) -> int:

@@ -376,7 +376,6 @@ def knn_points(
     Returns (point_id, rank, doc_id, dist_sq).
     """
 
-    n = nx(level)
     # one centroid per doc: an antimeridian-crossing box is represented by
     # its eastern-hemisphere part (part 0, [west,180]) — deterministic and
     # single-rowed, so a doc can never appear twice in one point's top-k
@@ -387,7 +386,26 @@ def knn_points(
         ((F.col("south") + F.col("north")) / 2).alias("cy"),
     )
     cent_idx = cents.withColumn("cell", point_cell_expr(F.col("cx"), F.col("cy"), level))
+    return _knn_probe(points, cents, cent_idx, k, level, ring)
 
+
+def _knn_probe(
+    points: DataFrame,
+    cents: DataFrame,
+    cent_idx: DataFrame,
+    k: int,
+    level: int,
+    ring: int,
+) -> DataFrame:
+    """The escalating-ring kNN core over a prebuilt centroid index.
+
+    ``cent_idx`` is (doc_id, cx, cy, cell) — computed on the fly by
+    :func:`knn_points` or read from a bucketed table by
+    ``gmx.geometry.bucketed.knn_from_index`` (where the index side of the
+    probe join plans without an Exchange); ``cents`` is the same rows
+    without the cell column, feeding the exact broadcast fallback."""
+
+    n = nx(level)
     dist = (F.col("lon") - F.col("cx")) ** 2 + (F.col("lat") - F.col("cy")) ** 2
     w = Window.partitionBy("point_id").orderBy(F.col("dist_sq").asc(), F.col("doc_id").asc())
     out_cols = ("point_id", "rank", "doc_id", "dist_sq")

@@ -243,6 +243,33 @@ UNION ALL
 SELECT did, printf('catalog://missing/%d', i) FROM ext
 WHERE standard='iso' AND i%25=0"""
 
+    # The "decode" is the documented deterministic stub (gmx.media): payload
+    # bytes are md5(media_ref) repeated, so width/height come from the first
+    # two digest bytes and mean_luma from the digest byte-sum (payload[:256]
+    # is exactly 16 digest repeats since len >= 512).  DuckDB recomputes the
+    # digest bytes from md5()'s hex output.  This oracle models the stub
+    # branch (no imaging stack in the gate container); with Pillow installed
+    # the engine would decode for real and this gate would not apply.
+    o["media_decode_stub"] = f"""
+WITH {EXT},
+refs AS (
+  SELECT did AS doc_id,
+         printf('tile://4/%d/%d',
+                least((wh+eh+720)*16//1440, 15),
+                least((sh+nh+360)*16//720, 15)) AS media_ref
+  FROM ext WHERE i%5=1),
+b AS (
+  SELECT doc_id, media_ref,
+         [CAST(('0x'||substr(md5(media_ref), 2*i-1, 2)) AS INT)
+          for i in range(1, 17)] AS sb
+  FROM refs)
+SELECT doc_id, media_ref,
+       CAST(64 + sb[1]*4 AS BIGINT) AS width,
+       CAST(64 + sb[2]*4 AS BIGINT) AS height,
+       CAST((16*CAST(list_sum(sb) AS BIGINT)) % 256 AS BIGINT) AS mean_luma,
+       'stub' AS decoder
+FROM b"""
+
     o["convert_to_iso"] = f"""
 WITH {EXT}
 SELECT did AS doc_id, 'iso' AS standard,

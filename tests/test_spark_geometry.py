@@ -415,6 +415,48 @@ def test_bucketed_cell_index_joins(spark, extents, boxes, points, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {table}_large")
 
 
+def test_bucketed_centroid_index_knn(spark, extents, boxes, points, tmp_path):
+    """knn_from_index equals knn_points exactly, and the probe join reads
+    the centroid side from bucket metadata (bucketed scan, no Exchange
+    above it)."""
+
+    from gmx.geometry.bucketed import knn_from_index, write_centroid_index
+
+    table = "gmx_test_centidx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    write_centroid_index(extents, table, str(tmp_path / "centidx"))
+
+    pts, df = points
+    want = knn_oracle(pts, boxes)
+    got = {(r.point_id, r.rank, r.doc_id)
+           for r in knn_from_index(spark, df, table).collect()}
+    assert got == want
+
+    # plan check on the first-round probe join shape: points side shuffles
+    # to the index's bucketing, index side scans its buckets directly
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        from pyspark.sql import functions as F
+        from gmx.geometry.cellgrid import covering_expr
+
+        idx = spark.table(table)
+        probe = df.select(
+            "point_id",
+            F.explode(
+                covering_expr(F.col("lon") - 1, F.col("lat") - 1,
+                              F.col("lon") + 1, F.col("lat") + 1, 6)
+            ).alias("cell"),
+        ).join(idx, on="cell")
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan[:3000]
+        # exactly one Exchange (the probe side); none above the bucketed scan
+        assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_cover_cells_match_oracle(extents, boxes):
     import math
 
