@@ -6,8 +6,9 @@
 ``queries`` — one entry per implemented operator (SURVEY.md §2 ids noted in
               gmx.queries docstrings).
 ``oracle_sql`` — DuckDB SQL recomputing expected outputs from corpus
-              arithmetic (gmx.oracles); omitted only for the media codec
-              stub (container-constrained) — it gets a rows-only check.
+              arithmetic (gmx.oracles).  EVERY query carries an oracle —
+              including media_decode_stub, whose deterministic fake decode
+              is hash-gated against a DuckDB md5-byte twin.
 """
 
 from __future__ import annotations
@@ -83,8 +84,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": Q.ann_lsh_topk,
         "ann_ivf_topk": Q.ann_ivf_topk,
         "dedup_clusters": Q.dedup_clusters,
+        "dedup_clusters_star": Q.dedup_clusters_star,
         "sample_stratified": Q.sample_stratified,
-        # rows-only (media codec stub — container-constrained)
+        # media codec stub (deterministic fake decode, hash-gated)
         "media_decode_stub": Q.media_decode_stub,
     }
 

@@ -108,11 +108,16 @@ def _decode_payload(ref: str, payload: bytes) -> tuple[int, int, int, str]:
         total = sum(hist)
         luma = int(sum(i * c for i, c in enumerate(hist)) / max(total, 1))
         return img.width, img.height, luma, "pillow"
-    except ImportError:
-        width = 64 + payload[0] * 4
-        height = 64 + payload[1] * 4
-        luma = sum(payload[:256]) % 256
-        return width, height, luma, "stub"
+    except Exception:
+        # ImportError (no imaging stack — this container) OR a decode error
+        # (e.g. UnidentifiedImageError on the synthetic md5-repeat payloads
+        # if Pillow were ever installed): fall through to the deterministic
+        # stub so the op degrades to testable plumbing instead of crashing.
+        pass
+    width = 64 + payload[0] * 4
+    height = 64 + payload[1] * 4
+    luma = sum(payload[:256]) % 256
+    return width, height, luma, "stub"
 
 
 def decode_images(media: DataFrame) -> DataFrame:

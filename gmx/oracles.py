@@ -498,6 +498,9 @@ reach(src, dst) AS (
 SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
 FROM reach GROUP BY src"""
 
+    # the star-mode loop body computes the SAME components — same twin
+    o["dedup_clusters_star"] = o["dedup_clusters"]
+
     o["sample_stratified"] = f"""
 WITH scored AS (SELECT doc_id, {score_exprs} FROM documents),
 best AS (SELECT *, greatest(s_en, s_es, s_de, s_fr) AS b FROM scored),

@@ -496,6 +496,18 @@ def dedup_clusters(spark, sf_dir):
     )
 
 
+def dedup_clusters_star(spark, sf_dir):
+    """Same components via the large-star/small-star loop body (Kiveris et
+    al., SoCC'14) — the adversarial-diameter scale path; identical output
+    and oracle as dedup_clusters."""
+    from gmx.textops.dedup import dup_clusters
+
+    return dup_clusters(
+        minhash_pairs(_docs(spark, sf_dir), threshold=0.1, hash_mode="poly"),
+        mode="star",
+    )
+
+
 def sample_stratified(spark, sf_dir):
     """Deterministic hash-based stratified sampling by language stratum
     (en kept at 500/1000, others 100/1000) — reproducible training-data

@@ -105,7 +105,7 @@ def minhash_pairs(
     shingle: int = 3,
     threshold: float = 0.5,
     hash_mode: str = "xxhash64",
-    verify_mode: str = "ride",
+    verify_mode: str = "join_back",
 ) -> DataFrame:
     """LSH candidate generation + exact Jaccard verification.
 
@@ -113,14 +113,16 @@ def minhash_pairs(
     candidates; candidates are verified with exact shingle Jaccard via an
     array intersection.  Returns (a_id, b_id, jaccard_per_mille).
 
-    ``verify_mode`` picks the shuffle trade (PLANS.md §11):
-    - "ride" (default, right at bench scale): shingle arrays ride the band
-      explode — no second corpus shuffle, but band-key shuffle volume is
-      bands x document size.
-    - "join_back" (right at corpus scale): the band join moves only
+    ``verify_mode`` picks the shuffle trade (PLANS.md §11), matching
+    ngram_jaccard_pairs:
+    - "join_back" (default — the 100 TB shape): the band join moves only
       (doc_id, band_key) ~16 B/doc/band; deduped candidate PAIRS then join
       the shingle arrays back by doc id, so document bytes move once per
-      candidate side, not once per band.  Identical results (pytest-pinned).
+      candidate side, not once per band.  At 10^12 docs the alternative
+      ships ~10 PB of shingle arrays through the band shuffle (PLANS §11).
+    - "ride": shingle arrays ride the band explode — one fewer corpus
+      shuffle, only sane when documents are tiny.  Identical results
+      (pytest-pinned).
     """
 
     rows = num_hashes // bands
@@ -292,27 +294,38 @@ def ngram_jaccard_pairs(
     )
 
 
-def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def dup_clusters(pairs: DataFrame, max_iters: int = 20, mode: str = "label") -> DataFrame:
     """Connected components over near-duplicate pairs: (doc_id, cluster_rep)
     with cluster_rep = the smallest doc id in the component (by the id
     column's natural ordering).  A dedup PIPELINE needs cluster assignment, not just pairs —
     keep-one-per-cluster is a filter on ``doc_id != cluster_rep``.
 
-    Algorithm: iterative min-label propagation — each round every node takes
-    the minimum of its own label and its neighbors' labels (one equi-join +
-    map-side-combined min agg per round), terminating when a round changes
-    nothing (cheap ``limit(1).isEmpty`` probe, like kNN's escalation).
-    Rounds needed = graph diameter; near-dup clusters are shallow (most are
-    cliques or stars from one shared band), so this converges in 2-4 rounds.
-    For adversarial long-chain graphs the same join primitives compose into
-    large-star/small-star alternation (Kiveris et al., "Connected Components
-    in MapReduce and Beyond", SoCC'14) with O(log^2 n) rounds — a parameter
-    of the loop body, not a redesign.
+    Two loop bodies, identical results (pytest-pinned equal):
+
+    - ``mode='label'`` (default): iterative min-label propagation — each
+      round every node takes the minimum of its own label and its
+      neighbors' labels (one equi-join + map-side-combined min agg per
+      round), terminating when a round changes nothing (cheap
+      ``limit(1).isEmpty`` probe, like kNN's escalation).  Rounds needed =
+      graph diameter; near-dup clusters are shallow (most are cliques or
+      stars from one shared band), so this converges in 2-4 rounds.
+    - ``mode='star'``: large-star/small-star alternation (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond", SoCC'14) —
+      O(log^2 n) rounds regardless of diameter, the right body for
+      adversarial long chains (chained boilerplate near-dups in crawl
+      data), where label propagation needs diameter rounds and aborts.
+      Each half-round is one groupBy-min + one equi-join over the
+      (shrinking) edge set.
+
+    Both fail LOUDLY (RuntimeError) if the round budget is exhausted before
+    convergence — never a silently split component.
 
     Only documents that appear in some pair are emitted (singletons are
     their own cluster by definition — emitting 10^12 identity rows would
     dwarf the real output)."""
 
+    if mode == "star":
+        return _dup_clusters_star(pairs, max_iters)
     sym = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
     edges = sym.unionByName(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -333,13 +346,20 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .agg(F.min("lbl").alias("nbr_lbl"))
             .select(F.col("src").alias("node"), "nbr_lbl")
         )
+        # localCheckpoint (not persist): each round's plan references the
+        # previous round's twice, so without lineage truncation the logical
+        # plan grows 2^rounds and Catalyst OOMs planning round ~15 — the
+        # standard iterative-algorithm pattern (GraphFrames does the same).
+        # Production note: localCheckpoint stores partitions on executors
+        # (re-run the job on executor loss); a reliable checkpoint dir is
+        # the durable alternative.
         new_labels = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
             )
-            .persist()
+            .localCheckpoint()
         )
         converged = (
             new_labels.alias("n")
@@ -362,9 +382,94 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels.unpersist()
         raise RuntimeError(
             f"dup_clusters did not converge within max_iters={max_iters}; "
-            "a component's radius exceeds the round budget"
+            "a component's radius exceeds the round budget — raise max_iters "
+            "or use mode='star' (O(log^2 n) rounds at any diameter)"
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_rep"))
+
+
+def _dup_clusters_star(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al., SoCC'14).
+
+    Invariant: the edge set is kept in child>parent orientation
+    (``u`` > ``v``), deduped.  One round =
+
+    - large-star: for every node, hang all strictly-LARGER neighbors onto
+      m = min(neighborhood ∪ self) — one symmetrized groupBy-min + join;
+    - small-star: for every node, hang itself and all smaller neighbors
+      onto m = min(smaller-neighborhood ∪ self) — one groupBy-min + join
+      on the already-oriented edges.
+
+    Both steps strictly preserve connectivity and monotonically lower
+    parents, converging to stars (every node points directly at its
+    component min) in O(log^2 n) rounds.  Convergence is detected by exact
+    edge-set equality (count + exceptAll probe — sound, never heuristic);
+    exhaustion of ``max_iters`` raises rather than emitting split
+    components, same contract as the label-propagation body."""
+
+    edges = (
+        pairs.select(
+            F.greatest("a_id", "b_id").alias("u"), F.least("a_id", "b_id").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+        .persist()
+    )
+    n_edges = edges.count()
+
+    def large_star(e: DataFrame) -> DataFrame:
+        nbr = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = nbr.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select("u", F.least("u", "mn").alias("m"))
+        # emitted (dst > u >= m): orientation child>parent holds by design
+        return (
+            nbr.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates(["u", "v"])
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # e is (u > v): v ranges over the not-larger neighborhood already
+        m = e.groupBy("u").agg(F.min("v").alias("m"))  # m < u always
+        hang_nbrs = (
+            e.join(m, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        hang_self = m.select("u", F.col("m").alias("v"))
+        return hang_nbrs.unionByName(hang_self).dropDuplicates(["u", "v"])
+
+    converged = False
+    for _ in range(max_iters):
+        # localCheckpoint truncates lineage: one round references the prior
+        # edge set ~6x, so composed plans would grow 6^rounds (see the
+        # label-mode comment; same GraphFrames-style pattern)
+        new_edges = small_star(large_star(edges)).localCheckpoint()
+        n_new = new_edges.count()
+        converged = (
+            n_new == n_edges
+            and new_edges.exceptAll(edges).limit(1).isEmpty()
+        )
+        edges.unpersist()
+        edges, n_edges = new_edges, n_new
+        if converged:
+            break
+    if not converged:
+        edges.unpersist()
+        raise RuntimeError(
+            f"dup_clusters(mode='star') did not converge within "
+            f"max_iters={max_iters} rounds"
+        )
+    # fixpoint edges are stars: u -> component min; roots label themselves
+    out = (
+        edges.select(F.col("u").alias("doc_id"), F.col("v").alias("lbl"))
+        .unionByName(edges.select(F.col("v").alias("doc_id"), F.col("v").alias("lbl")))
+        .groupBy("doc_id")
+        .agg(F.min("lbl").alias("cluster_rep"))
+    )
+    return out
 
 
 def simhash_buckets(

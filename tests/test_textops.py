@@ -219,6 +219,48 @@ def test_dup_clusters_connected_components(spark):
     got = {(r.doc_id, r.cluster_rep) for r in dup_clusters(pdf).collect()}
     want = {(i, 1) for i in range(1, 8)} | {(10, 10), (11, 10)}
     assert got == want
+    # the star loop body computes the identical assignment
+    star = {(r.doc_id, r.cluster_rep) for r in dup_clusters(pdf, mode="star").collect()}
+    assert star == want
+
+
+def test_dup_clusters_star_handles_adversarial_chain(spark):
+    """A chain of 200 near-dups (min-hop radius 199 — the chained-boilerplate
+    shape routine in crawl data): label propagation within the default round
+    budget must fail LOUDLY, never split the component; the star body
+    converges in O(log^2 n) rounds and assigns one cluster."""
+    import pytest
+
+    from gmx.textops.dedup import dup_clusters
+
+    n = 200
+    pairs = [(i, i + 1) for i in range(1, n)]
+    pdf = spark.createDataFrame(pairs, "a_id long, b_id long")
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(pdf, max_iters=5).collect()
+
+    got = {(r.doc_id, r.cluster_rep) for r in dup_clusters(pdf, mode="star", max_iters=12).collect()}
+    assert got == {(i, 1) for i in range(1, n + 1)}
+
+
+def test_dup_clusters_modes_agree_on_random_graph(spark):
+    """Both loop bodies produce the same components on a messy graph (cliques,
+    stars, chains, shared nodes, reversed/duplicate edges)."""
+    from gmx.textops.dedup import dup_clusters
+
+    pairs = (
+        [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]  # clique 1-4
+        + [(20, 21), (21, 20), (20, 22), (20, 23)]              # star + dup/reversed
+        + [(30, 31), (31, 32), (32, 33), (33, 34)]              # chain
+        + [(4, 30)]                                             # bridge clique<->chain
+    )
+    pdf = spark.createDataFrame(pairs, "a_id long, b_id long")
+    label = {(r.doc_id, r.cluster_rep) for r in dup_clusters(pdf).collect()}
+    star = {(r.doc_id, r.cluster_rep) for r in dup_clusters(pdf, mode="star").collect()}
+    assert label == star
+    assert {(i, 1) for i in (1, 2, 3, 4, 30, 31, 32, 33, 34)} <= label
+    assert {(20, 20), (21, 20), (22, 20), (23, 20)} <= label
 
 
 def test_stratified_sample_deterministic_and_stratified(spark, sf_dir):
