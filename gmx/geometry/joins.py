@@ -185,6 +185,40 @@ def _large_tier_pairs(other: DataFrame, l_ns: DataFrame, l_s: DataFrame) -> Data
     return large_pairs.unionByName(split_pairs)
 
 
+def recommend_salt(
+    extents: DataFrame,
+    level: int = DEFAULT_LEVEL,
+    large_cap: int = DEFAULT_LARGE_CAP,
+    rows_per_shard: int = 50_000,
+    max_salt: int = 32,
+) -> int:
+    """Derive the small-tier join salt from the OBSERVED hot-cell occupancy
+    instead of a hand-picked constant: the salt exists to split one hot
+    cell's join work across tasks, so the right value is
+    ceil(max cell occupancy / rows_per_shard), clamped to [1, max_salt].
+
+    The signal is the same (cell, count) histogram ``spatial_cell_histogram``
+    exposes for observability — one map-side-combined aggregate over the
+    exploded small-tier covering (the large/whole-world tier is already
+    pulled out by ``large_cap`` and never lands in the salted join).
+    ``rows_per_shard`` is the index-rows-per-(cell,salt)-shard target a
+    task should handle comfortably; at corpus scale compute this once per
+    index build, not per query (it is one eager Spark job — cache
+    ``extents``, like the ``large_budget`` probe)."""
+
+    import math
+
+    ext = _with_tier(extents, level, large_cap)
+    mx = (
+        cover_cells(ext.filter(~F.col("is_large")), level)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .first()["mx"]
+    ) or 0
+    return max(1, min(max_salt, math.ceil(mx / rows_per_shard)))
+
+
 def cover_cells(extents: DataFrame, level: int = DEFAULT_LEVEL) -> DataFrame:
     """Exploded (cell, doc) covering index — the tile-assignment operator.
     ``part``/``split`` columns (antimeridian parts from extents_df) pass
@@ -292,19 +326,28 @@ def point_in_bbox(
     extents: DataFrame,
     level: int = DEFAULT_LEVEL,
     large_cap: int = DEFAULT_LARGE_CAP,
-    salt: int | None = None,
+    salt: int | str | None = None,
     large_budget: int | None = None,
     overflow_level: int = OVERFLOW_LEVEL,
     overflow_salt: int = OVERFLOW_SALT,
+    salt_rows_per_shard: int = 50_000,
 ) -> DataFrame:
     """(point_id, doc_id) pairs where the point lies inside the doc extent
     (closed intervals).  Two-tier like the overlap join; optional salting
     replicates the small-tier index ``salt`` ways for residual hot cells.
+    ``salt="auto"`` derives the factor from the measured hot-cell occupancy
+    (:func:`recommend_salt` — one eager aggregate over ``extents``; cache
+    the input, same caveat as ``large_budget``) instead of a hand-picked
+    constant.
 
     ``large_budget``: over budget, the ENTIRE large tier (split parts are
     plain rectangles for containment — no pair-dedup hazard) probes through
     the salted coarse-cell equi-join instead of a broadcast: each point maps
     to exactly one coarse cell, so no dedup is needed."""
+
+    if salt == "auto":
+        s = recommend_salt(extents, level, large_cap, salt_rows_per_shard)
+        salt = s if s > 1 else None
 
     ext = _with_tier(extents, level, large_cap)
     small = ext.filter(~F.col("is_large"))

@@ -406,8 +406,11 @@ def spatial_bbox_overlap_join(spark, sf_dir):
 
 
 def spatial_point_in_bbox(spark, sf_dir):
-    """Point-in-polygon (bbox) join, salted small tier."""
-    return point_in_bbox(_points(spark, sf_dir), _extents(spark, sf_dir), salt=4)
+    """Point-in-polygon (bbox) join; the small-tier salt is derived from the
+    measured hot-cell occupancy (joins.recommend_salt) rather than a
+    hand-picked constant — at gate scale it resolves to 1, on a corpus with
+    a planted hot cell it scales up (pytest-pinned)."""
+    return point_in_bbox(_points(spark, sf_dir), _extents(spark, sf_dir), salt="auto")
 
 
 def spatial_knn(spark, sf_dir):

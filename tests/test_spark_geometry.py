@@ -360,6 +360,41 @@ def test_aqe_skew_join_splits_planted_hot_cell(spark):
                 spark.conf.set(k, v)
 
 
+def test_auto_salt_from_cell_histogram(spark, extents):
+    """The join salt is derived from the measured hot-cell occupancy, not a
+    hand-picked constant: a planted hot cell (20k extents in one cell) makes
+    recommend_salt scale the factor up; the uniform sf corpus resolves to 1;
+    and point_in_bbox(salt='auto') returns the same rows as unsalted."""
+
+    from gmx.geometry.joins import recommend_salt
+
+    ext = spark.range(20_000).selectExpr(
+        "concat('d-', id) AS doc_id",
+        "0.1 + (id % 100) * 0.0004 AS west",
+        "0.1 + (id % 100) * 0.0004 AS south",
+        "0.1001 + (id % 100) * 0.0004 AS east",
+        "0.1001 + (id % 100) * 0.0004 AS north",
+    ).cache()
+    s = recommend_salt(ext, rows_per_shard=1_000)
+    assert s == 20  # ceil(20000 / 1000): every extent lands in one cell
+    assert recommend_salt(ext, rows_per_shard=1_000, max_salt=8) == 8
+    # the uniform small corpus needs no salt at the production shard target
+    assert recommend_salt(extents) == 1
+
+    pts = spark.range(50).selectExpr(
+        "id AS point_id",
+        "0.12 + id * 1e-7 AS lon",
+        "0.12 + id * 1e-7 AS lat",
+    )
+    unsalted = {(r.point_id, r.doc_id) for r in point_in_bbox(pts, ext).collect()}
+    auto = {
+        (r.point_id, r.doc_id)
+        for r in point_in_bbox(pts, ext, salt="auto", salt_rows_per_shard=1_000).collect()
+    }
+    assert auto == unsalted and len(auto) > 0
+    ext.unpersist()
+
+
 def test_bucketed_cell_index_joins(spark, extents, boxes, points, tmp_path):
     """Bucketed index tables make repeated spatial joins shuffle-free: the
     index self-join's physical plan has NO Exchange (bucket metadata
