@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_counts": Q.events_windowed_counts,
         "events_sliding_counts": Q.events_sliding_counts,
         "events_sessionize": Q.events_sessionize,
+        "events_sessionize_stream": Q.events_sessionize_stream,
         # spatial layer (north rule)
         "spatial_tile_cover": Q.spatial_tile_cover,
         "spatial_cell_histogram": Q.spatial_cell_histogram,

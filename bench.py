@@ -6,15 +6,21 @@ Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
    "queries": {name: sec}, "sf": ..., "docs": N, "docs_per_sec": ...}
 
 ``value`` is the wall time of the north-rule pipeline (corpus table scan ->
-extraction -> cell index -> bbox-overlap / PIP / kNN / tile joins) over
-``GMX_BENCH_SCALE`` x |documents| docs (default x40).  The synthetic span
-corpus is materialized to parquet under /tmp ONCE, untimed, and reused
-across runs: in production the corpus is an existing Iceberg table, so the
-engine's work starts at the scan — timing synthesis would charge test
-scaffolding to the engine (and it costs as much as extraction itself).
-Fixed-size auxiliary ops (dedup/ANN over the raw sf tables) are timed and
-reported in ``queries`` but excluded from the headline value, matching
-BASELINE.json's metric ("spatial-join + tile-assignment throughput
+extraction -> bucketed cell/centroid INDEX BUILD -> bbox-overlap / PIP /
+kNN / tile joins SERVED FROM THE INDEX) over ``GMX_BENCH_SCALE`` x
+|documents| docs (default x40).  Since round 4 the measured pipeline is the
+amortized 100 TB plan: ``index_build`` (timed, included in the headline)
+pays the exploded-covering shuffle ONCE into bucketed+sorted tables
+(gmx.geometry.bucketed), and every spatial join reads the index side with
+no Exchange — at corpus scale that build is amortized over many queries,
+so one-build + one-of-each-join is the conservative accounting.  The
+synthetic span corpus is materialized to parquet under /tmp ONCE, untimed,
+and reused across runs: in production the corpus is an existing Iceberg
+table, so the engine's work starts at the scan — timing synthesis would
+charge test scaffolding to the engine (and it costs as much as extraction
+itself).  Fixed-size auxiliary ops (dedup/ANN over the raw sf tables) are
+timed and reported in ``queries`` but excluded from the headline value,
+matching BASELINE.json's metric ("spatial-join + tile-assignment throughput
 (docs/sec)").
 
 A small untimed warm-up pass runs every query shape first so JIT compilation
@@ -29,7 +35,10 @@ import os
 import sys
 import time
 
-SPATIAL = ("extract", "tile_cover", "bbox_overlap", "point_in_bbox", "knn", "tile_join")
+SPATIAL = (
+    "extract", "index_build", "tile_cover", "bbox_overlap", "point_in_bbox",
+    "knn", "tile_join",
+)
 
 
 def main() -> None:
@@ -44,18 +53,18 @@ def main() -> None:
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from gmx import pipeline as P
-    from gmx.geometry import (
-        bbox_overlap_pairs,
-        cover_cells,
-        extents_df,
-        knn_points,
-        point_in_bbox,
-        tile_extent_join,
+    from gmx.geometry import cover_cells, extents_df
+    from gmx.geometry.bucketed import (
+        bbox_overlap_pairs_from_index,
+        knn_from_index,
+        point_in_bbox_from_index,
+        tile_extent_join_from_index,
+        write_cell_index,
+        write_centroid_index,
     )
     from gmx.queries import _points, _tiles
     from gmx.session import get_spark
     from gmx.textops import cosine_topk, minhash_pairs
-    from gmx.session import get_spark
 
     spark = get_spark("gmx-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -92,16 +101,25 @@ def main() -> None:
     pts.count()
     tiles = _tiles(spark)
 
-    # ---- warm-up (untimed): every query shape once at scale 1
+    # index table names/paths: per (sf, scale) so parallel configurations
+    # never collide; bucket count fixed at 16 (matches the two-CPU task
+    # slots at local[32]; at corpus scale pick O(cluster cores))
+    idx_dir = f"/tmp/gmx_bench_idx_{sf_name}_x{scale}"
+    cell_tab, cent_tab = "gmx_bench_cell_idx", "gmx_bench_cent_idx"
+
+    # ---- warm-up (untimed): every query shape once at scale 1, including
+    # one index build + the from-index join shapes
     warm_meta = P.metadata_df(spark, sf_dir, scale=1).persist()
     warm_meta.count()
     warm_ext = extents_df(warm_meta).persist()
     warm_ext.count()
     cover_cells(warm_ext, 4).count()
-    bbox_overlap_pairs(warm_ext).count()
-    point_in_bbox(pts, warm_ext, salt=4).count()
-    knn_points(pts, warm_ext).count()
-    tile_extent_join(tiles, warm_ext).count()
+    write_cell_index(warm_ext, cell_tab, f"{idx_dir}/cell")
+    write_centroid_index(warm_ext, cent_tab, f"{idx_dir}/cent")
+    bbox_overlap_pairs_from_index(spark, cell_tab).count()
+    point_in_bbox_from_index(spark, pts, cell_tab).count()
+    knn_from_index(spark, pts, cent_tab).count()
+    tile_extent_join_from_index(spark, tiles, cell_tab).count()
     minhash_pairs(raw_docs, threshold=0.1).count()
     cosine_topk(emb).count()
     warm_meta.unpersist()
@@ -114,12 +132,21 @@ def main() -> None:
     # engine by the same factor, so each query is timed GMX_BENCH_REPS times
     # (default 3, identical uncached work each rep) and the MEDIAN is
     # reported; the full per-query distributions ride in the JSON so the
-    # spread is visible, not hidden.
-    # Reps are INTERLEAVED round-robin across queries (not 3x per query
+    # spread is visible, not hidden.  The steal-sensitive queries (extract —
+    # the long Python-worker stage — plus the three heavyweight spatial
+    # stages) get GMX_BENCH_REPS_HEAVY reps (default 5) so their medians
+    # stop being noise-bound (round-3 spreads: extract [6.4, 23.2, 15.3]).
+    # Rebuilding the index EVERY round keeps every query genuinely fresh:
+    # the table version changes, so Spark's cache manager can never serve a
+    # repeat rep from a previous rep's internally-persisted subtrees (which
+    # flattered repeated identical kNN plans in rounds <= 3).
+    # Reps are INTERLEAVED round-robin across queries (not k-per-query
     # consecutively): the steal bursts last ~2 minutes, so back-to-back reps
     # of one query all land in the same burst, while a full round takes
     # longer than a burst and decorrelates each query's reps.
     reps = int(os.environ.get("GMX_BENCH_REPS", "3"))
+    heavy_reps = max(reps, int(os.environ.get("GMX_BENCH_REPS_HEAVY", "5")))
+    heavy = {"extract", "index_build", "bbox_overlap", "knn"}
     times: dict[str, float] = {}
     dists: dict[str, list[float]] = {}
 
@@ -142,19 +169,40 @@ def main() -> None:
     ext.count()
     n_docs = 0
 
+    def _knn_fresh_count():
+        # release kNN's internal candidate caches after materializing so the
+        # next rep recomputes from scratch (and the JVM heap stays flat)
+        df = knn_from_index(spark, pts, cent_tab)
+        n = df.count()
+        for c in getattr(df, "_gmx_cached", []):
+            c.unpersist()
+        return n
+
+    def build_indexes():
+        # the once-per-corpus shuffle the from-index joins amortize: exploded
+        # small-tier covering -> bucketed+sorted cell table (+ tiny large
+        # table), centroids -> bucketed centroid table
+        write_cell_index(ext, cell_tab, f"{idx_dir}/cell")
+        write_centroid_index(ext, cent_tab, f"{idx_dir}/cent")
+        return 1
+
     queries = [
         ("extract", lambda: P.metadata_from_corpus(
             corpus, persist=False, props={"bounding_box"}).count()),
+        ("index_build", build_indexes),
         ("tile_cover", cover_cells(ext, 4).count),
-        ("bbox_overlap", bbox_overlap_pairs(ext).count),
-        ("point_in_bbox", lambda: point_in_bbox(pts, ext, salt=4).count()),
-        ("knn", lambda: knn_points(pts, ext).count()),
-        ("tile_join", lambda: tile_extent_join(tiles, ext).count()),
+        ("bbox_overlap", lambda: bbox_overlap_pairs_from_index(spark, cell_tab).count()),
+        ("point_in_bbox", lambda: point_in_bbox_from_index(spark, pts, cell_tab).count()),
+        ("knn", lambda: _knn_fresh_count()),
+        ("tile_join", lambda: tile_extent_join_from_index(spark, tiles, cell_tab).count()),
         ("minhash_dedup", lambda: minhash_pairs(raw_docs, threshold=0.1).count()),
         ("ann_cosine", lambda: cosine_topk(emb).count()),
     ]
-    for _ in range(reps):
+    max_reps = max(reps, heavy_reps)
+    for r in range(max_reps):
         for name, fn in queries:
+            if r >= (heavy_reps if name in heavy else reps):
+                continue
             out = timed_once(name, fn)
             if name == "extract":
                 n_docs = out

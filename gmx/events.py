@@ -297,6 +297,7 @@ def sessionize_stream_watermarked(
     gap_minutes: int = 30,
     watermark: str = "0 seconds",
     max_files_per_trigger: int = 1,
+    idle_state_retention_minutes: int = 24 * 60,
 ) -> None:
     """Drive the watermarked sessionizer over a file stream, one file per
     micro-batch (``maxFilesPerTrigger``) so a multi-file directory exercises
@@ -311,7 +312,9 @@ def sessionize_stream_watermarked(
         .parquet(events_dir)
     )
     q = (
-        sessionize_stateful_watermarked(events, gap_minutes, watermark)
+        sessionize_stateful_watermarked(
+            events, gap_minutes, watermark, idle_state_retention_minutes
+        )
         .writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)

@@ -41,6 +41,8 @@ from gmx.geometry.joins import (
     _overlap,
     _with_tier,
     cover_cells,
+    tile_boxes,
+    tile_cell_hits,
 )
 
 
@@ -227,3 +229,36 @@ def point_in_bbox_from_index(
         ).select("point_id", "doc_id")
     )
     return small_hits.unionByName(large_hits)
+
+
+def tile_extent_join_from_index(
+    spark: SparkSession,
+    tiles: DataFrame,
+    table: str,
+) -> DataFrame:
+    """Raster tiles vs the bucketed index: the (big) index side of the cell
+    equi-join reads WITHOUT an Exchange (bucket metadata); only the tiny
+    exploded tile stream shuffles.  Same semantics as ``tile_extent_join``
+    — the small tier reuses joins.tile_cell_hits (shared reference-point
+    dedup), the large tier mirrors the on-the-fly broadcast split handling
+    over ``<table>_large``."""
+
+    level = index_level(spark, table)
+    tbox = tile_boxes(tiles)
+    small_hits = tile_cell_hits(tbox, spark.table(table), level)
+
+    large = spark.table(f"{table}_large")
+    large_hits = (
+        tbox.alias("t")
+        .join(F.broadcast(large.filter(~F.col("split")).alias("d")), _overlap("t", "d"))
+        .select("tile_id", "doc_id")
+    )
+    # a tile can overlap both parts of an antimeridian-crossing box: the
+    # split slice dedups separately, exactly as in tile_extent_join
+    split_hits = (
+        tbox.alias("t")
+        .join(F.broadcast(large.filter(F.col("split")).alias("d")), _overlap("t", "d"))
+        .select("tile_id", "doc_id")
+        .dropDuplicates(["tile_id", "doc_id"])
+    )
+    return small_hits.unionByName(large_hits).unionByName(split_hits)

@@ -226,6 +226,34 @@ SELECT user_id, session_seq, count(*) AS n_events,
        min(ts_us) AS start_us, max(ts_us) AS end_us
 FROM s GROUP BY 1, 2"""
 
+    # streaming twin: the watermarked stateful sessionizer emits exactly the
+    # CLOSED subset of the batch sessions — closed by gap (a later session of
+    # the same user exists) or by event-time timeout (the final watermark,
+    # floor(max ts / 1ms) at 0s delay, passed end_ms + gap_ms + 1, Spark's
+    # strict `timeout < watermark` semantics).  Values are identical to the
+    # batch plan, so the filter is the only addition.
+    o["events_sessionize_stream"] = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+m AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+s AS (
+  SELECT user_id, ts_us,
+         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM m),
+sess AS (
+  SELECT user_id, session_seq, count(*) AS n_events,
+         min(ts_us) AS start_us, max(ts_us) AS end_us
+  FROM s GROUP BY 1, 2),
+wm AS (SELECT max(ts_us)//1000 AS wm_ms FROM e),
+mx AS (SELECT user_id, max(session_seq) AS max_seq FROM sess GROUP BY 1)
+SELECT sess.user_id, sess.session_seq, sess.n_events, sess.start_us, sess.end_us
+FROM sess JOIN mx USING (user_id), wm
+WHERE sess.session_seq < mx.max_seq
+   OR sess.end_us//1000 + 1800000 + 1 < wm.wm_ms"""
+
     o["media_refs_extract"] = f"""
 WITH {EXT}
 SELECT did AS doc_id,

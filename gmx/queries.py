@@ -226,6 +226,47 @@ def events_sessionize(spark, sf_dir):
     return sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def events_sessionize_stream(spark, sf_dir):
+    """TRUE stream-semantics sessionization, oracle-gated: the watermarked
+    stateful sessionizer (applyInPandasWithState + EventTimeTimeout,
+    gmx.events.sessionize_stateful_watermarked) drains the event table as a
+    two-file TIME-ORDERED stream (one file per micro-batch, so open-session
+    state and the watermark really cross a batch boundary) and emits CLOSED
+    sessions only.
+
+    Closed = (a) a later event for the same user arrived with gap > 30 min
+    (the session is not the user's last), or (b) the event-time watermark
+    passed session_end + gap (timeout fires in a later batch; the final
+    watermark under availableNow is floor(max event ts / 1 ms)).  The DuckDB
+    twin computes the batch session set and filters it with exactly that
+    predicate; closed sessions carry identical (seq, n_events, start, end)
+    to the batch plan, so this gate hash-checks the streaming state machine
+    end to end.  Retention TTL is set far beyond the event span so sentinel
+    expiry cannot renumber sessions mid-gate."""
+
+    import tempfile
+    import time as _time
+
+    from gmx.events import sessionize_stream_watermarked
+
+    base = tempfile.mkdtemp(prefix="gmx_sess_stream_")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = ev.agg(F.min(us).alias("lo"), F.max(us).alias("hi")).first()
+    cut = (int(bounds["lo"]) + int(bounds["hi"])) // 2
+    # strict time partition: batch 2's events all exceed batch 1's watermark,
+    # so no event is ever late and timeouts are always end+gap+1 (the twin's
+    # closed-form); distinct mtimes pin file order = batch order
+    ev.filter(us <= F.lit(cut)).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    ev.filter(us > F.lit(cut)).coalesce(1).write.mode("append").parquet(src)
+    sessionize_stream_watermarked(
+        spark, src, out, ckpt, idle_state_retention_minutes=10_000_000
+    )
+    return spark.read.parquet(out)
+
+
 def media_refs_extract(spark, sf_dir):
     """Media-span surface: every (doc, media_ref) pair in the corpus —
     raster tiles on raster docs, catalog URLs on ISO docs and their sibling

@@ -186,3 +186,33 @@ def test_stateful_sessionizer_equals_batch(spark, sf_dir, events, tmp_path):
     want = {(r.user_id, r.session_seq, r.n_events, r.start_us, r.end_us)
             for r in sessionize(events).collect()}
     assert got == want
+
+
+def test_sessionize_stream_gate_query_matches_closed_subset(spark, sf_dir, events):
+    """The driver-gate query (two time-ordered files -> watermarked stateful
+    sessionizer) emits exactly the CLOSED subset of the batch sessions:
+    every session except, per user, the final one when the final watermark
+    (floor(max ts / 1ms)) never passed end+gap+1 — the same predicate the
+    DuckDB oracle encodes."""
+
+    from pyspark.sql import functions as F
+
+    from gmx.queries import events_sessionize_stream
+
+    got = {(r.user_id, r.session_seq, r.n_events, r.start_us, r.end_us)
+           for r in events_sessionize_stream(spark, sf_dir).collect()}
+
+    batch = [(r.user_id, r.session_seq, r.n_events, r.start_us, r.end_us)
+             for r in sessionize(events).collect()]
+    wm_ms = events.agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+    ).first()[0] // 1000
+    last = {}
+    for u, seq, *_ in batch:
+        last[u] = max(last.get(u, -1), seq)
+    want = {
+        (u, seq, n, s, e)
+        for (u, seq, n, s, e) in batch
+        if seq < last[u] or e // 1000 + 30 * 60_000 + 1 < wm_ms
+    }
+    assert got == want and len(got) > 0

@@ -446,6 +446,21 @@ def test_bucketed_cell_index_joins(spark, extents, boxes, points, tmp_path):
         for r in point_in_bbox_from_index(spark, df, table).collect()
     }
     assert got_pts == want_pts
+
+    # tile join from the same index equals the on-the-fly join exactly
+    from gmx.geometry.bucketed import tile_extent_join_from_index
+
+    tiles = [(f"t4-{x}-{y}", 4, x, y) for x in range(16) for y in range(16)]
+    tdf = spark.createDataFrame(tiles, "tile_id string, z int, x int, y int")
+    want_tiles = {
+        (r.tile_id, r.doc_id) for r in tile_extent_join(tdf, extents).collect()
+    }
+    got_tiles = [
+        (r.tile_id, r.doc_id)
+        for r in tile_extent_join_from_index(spark, tdf, table).collect()
+    ]
+    assert len(got_tiles) == len(set(got_tiles))
+    assert set(got_tiles) == want_tiles
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     spark.sql(f"DROP TABLE IF EXISTS {table}_large")
 

@@ -208,6 +208,31 @@ def test_ann_ivf_recall_vs_exact(spark, sf_dir):
     assert all(c <= 5 for c in per_q.values())
 
 
+def test_ann_ivf_trained_centroids_improve_recall(spark, sf_dir):
+    """A few distributed Lloyd iterations refine the stride-sampled coarse
+    quantizer: recall vs exact must be >= the untrained baseline (and the
+    incompatible train+int combination raises)."""
+    import pytest
+
+    from gmx.textops.similarity import ann_ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb).collect()}
+
+    def recall(**kw):
+        got = {(r.query_id, r.neighbor_id)
+               for r in ann_ivf_topk(emb, lists=8, nprobe=2, **kw).collect()}
+        return len(exact & got) / len(exact)
+
+    base = recall()
+    trained = recall(train_iters=3)
+    assert trained >= base, (trained, base)
+
+    with pytest.raises(ValueError, match="assign_mode='float'"):
+        ann_ivf_topk(emb, assign_mode="int", train_iters=1)
+    emb.unpersist()
+
+
 def test_dup_clusters_connected_components(spark):
     """Min-label propagation finds exact components, including a long chain
     (forces multiple propagation rounds) and separate components."""

@@ -24,7 +24,12 @@ def run_bench(cpus: int) -> dict:
     # single rep per bench invocation: THIS script's interleaved
     # median-of-reps across legs is the de-noising layer here; bench.py's
     # internal reps would triple each leg's wall time for no extra signal
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), GMX_BENCH_REPS="1")
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        GMX_BENCH_REPS="1",
+        GMX_BENCH_REPS_HEAVY="1",
+    )
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
         env=env, capture_output=True, text=True, check=True,
@@ -85,12 +90,16 @@ PRE-MATERIALIZED span-corpus parquet (synthesis is untimed scaffolding — in
 production the corpus is an existing Iceberg table) -> text reassembly ->
 dispatch -> Arrow extraction PRUNED to the bounding_box property (the
 spatial pipeline consumes nothing else; the projection pushdown also prunes
-the catalog join out of the plan) -> cell index -> bbox-overlap / PIP / kNN
-/ tile joins.  Auxiliary dedup/ANN queries are timed separately and excluded
-from the headline.  NOTE: round-0 numbers timed synthesis + full-property
-extraction + catalog join, so round-over-round throughput deltas across that
-boundary partly reflect reduced measured scope, not engine speedup — compare
-within a round's scope only.
+the catalog join out of the plan) -> bucketed cell + centroid INDEX BUILD
+(timed, in the headline) -> bbox-overlap / PIP / kNN / tile joins SERVED
+FROM THE INDEX (gmx.geometry.bucketed: the per-query covering shuffle is
+paid once at the build; the joins read the index side with no Exchange).
+Auxiliary dedup/ANN queries are timed separately and excluded from the
+headline.  NOTE: round-0 numbers timed synthesis + full-property extraction
++ catalog join, and rounds 1-3 timed on-the-fly (unindexed) joins, so
+round-over-round throughput deltas across those boundaries partly reflect
+changed measured scope, not pure engine speedup — compare within a round's
+scope only.
 
 | metric | local[{low}] (N) | local[{high}] ({factor:.0f}N) |
 |---|---|---|
@@ -122,11 +131,12 @@ distributions: local[{low}] {dist_low} s, local[{high}] {dist_high} s.
 
 Parallelism-level choice: the driver instruction permits any N vs 4N core
 pair.  On this shared 32-CPU host the single-JVM local mode imposes a
-ceiling: the same pipeline measured eff 0.22 at 8-vs-32 (local[32] is no
-faster than local[8] — fixed driver/Arrow costs and memory bandwidth, not
-the plan) and carries variable external load, so the honest pair is one
-where BOTH legs are underprovisioned relative to free capacity.  The full
-measured ladder for this round is recorded below the caveats when present.
+ceiling (one driver, one heap, shared memory bandwidth) and the host shows
+bursty hypervisor CPU steal (measured up to 35% for ~2-minute windows), so
+the honest pair is one where BOTH legs are underprovisioned relative to
+free capacity AND long enough that a steal burst cannot dominate a leg.
+The full measured ladder for this round is recorded below the caveats when
+present.
 """
     (REPO / "BENCH" / "BASELINE.md").write_text(md)
     print(json.dumps({
