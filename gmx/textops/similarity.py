@@ -365,17 +365,22 @@ def ann_ivf_topk(
         assigned = base.withColumn("probes", probes_expr)
     else:
         C = np.asarray([r["nvec"] for r in cents], dtype=np.float64)
-        for _ in range(train_iters):
-            Cn_it = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-
+        def _nearest_list_udf(Cn_cap):
+            # factory (not a default arg): pandas_udf infers types from the
+            # signature, so the captured centroid matrix must ride a closure
             @F.pandas_udf("int")
-            def nearest_list(vecs: pd.Series, _Cn=Cn_it) -> pd.Series:
+            def nearest_list(vecs: pd.Series) -> pd.Series:
                 if len(vecs) == 0:
                     return pd.Series([], dtype="int32")
                 V = np.stack(vecs.to_numpy()).astype(np.float64)
                 Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-                return pd.Series(np.argmax(Vn @ _Cn.T, axis=1).astype(np.int32))
+                return pd.Series(np.argmax(Vn @ Cn_cap.T, axis=1).astype(np.int32))
 
+            return nearest_list
+
+        for _ in range(train_iters):
+            Cn_it = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+            nearest_list = _nearest_list_udf(Cn_it)
             # per-(list, dim) means: lists x dim aggregate rows — tiny collect
             sums = (
                 base.withColumn("lid", nearest_list("nvec"))
