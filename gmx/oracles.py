@@ -388,6 +388,10 @@ SELECT point_id, rank, doc_id FROM (
   FROM pts p CROSS JOIN ext e
 ) WHERE rank <= 5"""
 
+    # the bucketed-index serving paths compute the SAME joins — same twins
+    o["spatial_bbox_overlap_indexed"] = o["spatial_bbox_overlap_join"]
+    o["spatial_knn_indexed"] = o["spatial_knn"]
+
     # tile footprints in quarter-degrees so everything stays integral
     o["spatial_raster_tile_join"] = f"""
 WITH {EXT},

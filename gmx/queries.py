@@ -466,6 +466,35 @@ def spatial_raster_tile_join(spark, sf_dir):
     return tile_extent_join(_tiles(spark), _extents(spark, sf_dir))
 
 
+def spatial_bbox_overlap_indexed(spark, sf_dir):
+    """The bucketed-index serving path end to end UNDER THE DRIVER GATE:
+    write the cell index (bucketBy+sortBy cell, the paid-once shuffle), then
+    answer the overlap join from it — identical semantics and oracle as
+    spatial_bbox_overlap_join; the index self-join plans with no Exchange
+    (plan-asserted in tests)."""
+    import tempfile
+
+    from gmx.geometry.bucketed import bbox_overlap_pairs_from_index, write_cell_index
+
+    path = tempfile.mkdtemp(prefix="gmx_gate_cellidx_")
+    write_cell_index(_extents(spark, sf_dir), "gmx_gate_cell_idx", f"{path}/cell")
+    return bbox_overlap_pairs_from_index(spark, "gmx_gate_cell_idx")
+
+
+def spatial_knn_indexed(spark, sf_dir):
+    """kNN served from the bucketed centroid index under the driver gate —
+    same escalating-ring core and oracle as spatial_knn."""
+    import tempfile
+
+    from gmx.geometry.bucketed import knn_from_index, write_centroid_index
+
+    path = tempfile.mkdtemp(prefix="gmx_gate_centidx_")
+    write_centroid_index(_extents(spark, sf_dir), "gmx_gate_cent_idx", f"{path}/cent")
+    return knn_from_index(spark, _points(spark, sf_dir), "gmx_gate_cent_idx", k=KNN_K).select(
+        "point_id", "rank", "doc_id"
+    )
+
+
 # ---------------------------------------------- training-data ops (documents)
 
 def dedup_exact(spark, sf_dir):
