@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data ops
         "dedup_exact": Q.dedup_exact,
         "text_token_count": Q.text_token_count,
+        "text_token_count_regex": Q.text_token_count_regex,
         "text_quality": Q.text_quality,
         "text_lang_id": Q.text_lang_id,
         "dedup_ngram_jaccard": Q.dedup_ngram_jaccard,

@@ -412,6 +412,18 @@ FROM documents GROUP BY 1"""
     o["text_token_count"] = """
 SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents"""
 
+    # BPE-ish pre-tokenizer classes: leftmost non-overlapping matches are
+    # identical between Java regex (Spark regexp_count) and DuckDB RE2
+    o["text_token_count_regex"] = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word_pieces,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_number_pieces,
+       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_punct_pieces,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+'))
+            + len(regexp_extract_all(text, '[0-9]+'))
+            + len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_pieces
+FROM documents"""
+
     o["text_quality"] = """
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,

@@ -505,6 +505,15 @@ def text_token_count(spark, sf_dir):
     return token_counts(_docs(spark, sf_dir))
 
 
+def text_token_count_regex(spark, sf_dir):
+    """BPE-ish regex pre-tokenizer piece counts (letter/digit runs +
+    punctuation marks) — the second tokenization mode the training-data
+    brief names next to whitespace."""
+    from gmx.textops import token_counts_regex
+
+    return token_counts_regex(_docs(spark, sf_dir))
+
+
 def text_quality(spark, sf_dir):
     return quality_scores(_docs(spark, sf_dir))
 

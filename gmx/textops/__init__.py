@@ -12,6 +12,7 @@ from gmx.textops.quality import (
     rolling_fingerprint,
     stratified_sample,
     token_counts,
+    token_counts_regex,
 )
 from gmx.textops.similarity import (
     ann_ivf_topk,
@@ -27,5 +28,5 @@ __all__ = [
     "embedding_near_dup", "embedding_near_dup_lsh", "exact_dup_groups",
     "lang_id", "lsh_buckets", "minhash_pairs", "minhash_signatures",
     "ngram_jaccard_pairs", "quality_scores", "rolling_fingerprint",
-    "simhash_buckets", "stratified_sample", "token_counts",
+    "simhash_buckets", "stratified_sample", "token_counts", "token_counts_regex",
 ]

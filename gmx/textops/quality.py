@@ -27,6 +27,30 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def token_counts_regex(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish pre-tokenizer counts: the GPT-2-style pre-tokenization
+    classes — letter runs, digit runs, and individual punctuation marks —
+    counted with ``regexp_count`` (leftmost non-overlapping, identical
+    semantics in Java regex and DuckDB's RE2, so the query is fully
+    hash-gated).  This is the subword-budget estimator a training pipeline
+    runs BEFORE paying for a real BPE encode: piece counts upper-bound the
+    BPE token count (BPE only merges within pre-token pieces).  Explicit
+    space class (not \\s) so both engines agree on the corpus alphabet.
+    Returns (doc_id, n_word_pieces, n_number_pieces, n_punct_pieces,
+    n_pieces)."""
+
+    words = F.regexp_count(F.col(text_col), F.lit("[A-Za-z]+")).cast("long")
+    nums = F.regexp_count(F.col(text_col), F.lit("[0-9]+")).cast("long")
+    punct = F.regexp_count(F.col(text_col), F.lit("[^A-Za-z0-9 ]")).cast("long")
+    return docs.select(
+        "doc_id",
+        words.alias("n_word_pieces"),
+        nums.alias("n_number_pieces"),
+        punct.alias("n_punct_pieces"),
+        (words + nums + punct).alias("n_pieces"),
+    )
+
+
 def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality features: length, token count, distinct-token ratio
     (per-mille, integer so cross-engine exact)."""

@@ -22,6 +22,22 @@ def test_token_counts(docs):
     assert got == {i: len(t.split(" ")) for i, t in rows.items()}
 
 
+def test_token_counts_regex_matches_python_re(docs):
+    """The BPE-ish pre-tokenizer counts equal python re on every doc, and
+    pieces upper-bound whitespace tokens on alnum text."""
+    import re
+
+    from gmx.textops import token_counts_regex
+
+    got = {r.doc_id: (r.n_word_pieces, r.n_number_pieces, r.n_punct_pieces, r.n_pieces)
+           for r in token_counts_regex(docs).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        w = len(re.findall(r"[A-Za-z]+", r.text))
+        n = len(re.findall(r"[0-9]+", r.text))
+        p = len(re.findall(r"[^A-Za-z0-9 ]", r.text))
+        assert got[r.doc_id] == (w, n, p, w + n + p), r.doc_id
+
+
 def test_exact_dup_groups_cover_all_docs(docs):
     total = docs.count()
     groups = exact_dup_groups(docs).collect()
