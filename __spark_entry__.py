@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_knn": Q.spatial_knn,
         "spatial_raster_tile_join": Q.spatial_raster_tile_join,
         "spatial_bbox_overlap_indexed": Q.spatial_bbox_overlap_indexed,
+        "spatial_point_in_bbox_indexed": Q.spatial_point_in_bbox_indexed,
+        "spatial_tile_join_indexed": Q.spatial_tile_join_indexed,
         "spatial_knn_indexed": Q.spatial_knn_indexed,
         # training-data ops
         "dedup_exact": Q.dedup_exact,

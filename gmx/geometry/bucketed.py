@@ -36,9 +36,14 @@ from gmx.geometry.cellgrid import (
 )
 from gmx.geometry.joins import (
     DEFAULT_LARGE_CAP,
+    OVERFLOW_LEVEL,
+    OVERFLOW_SALT,
     _knn_probe,
     _large_tier_pairs,
+    _ljoin_large,
+    _overflow_pairs,
     _overlap,
+    _pip_overflow_hits,
     _with_tier,
     cover_cells,
     tile_boxes,
@@ -174,19 +179,37 @@ def index_self_join(spark: SparkSession, table: str) -> DataFrame:
     )
 
 
-def bbox_overlap_pairs_from_index(spark: SparkSession, table: str) -> DataFrame:
+def bbox_overlap_pairs_from_index(
+    spark: SparkSession,
+    table: str,
+    large_budget: int | None = None,
+    overflow_level: int = OVERFLOW_LEVEL,
+    overflow_salt: int = OVERFLOW_SALT,
+) -> DataFrame:
     """Self-join the bucketed index on ``cell``: same semantics as
     ``bbox_overlap_pairs`` (reference-point dedup, two-tier), but the
     small x small join consumes bucket metadata — ``.explain`` shows no
     Exchange under either join input (asserted in tests).  The shuffle was
     paid once, at :func:`write_cell_index` time.  The large tier reuses the
-    SAME pair-assembly helper as the on-the-fly join (joins._large_tier_pairs)
-    so the dedup predicate cannot drift."""
+    SAME pair-assembly helpers as the on-the-fly join (_large_tier_pairs /
+    _overflow_pairs) so the dedup predicate cannot drift.
+
+    ``large_budget`` mirrors ``bbox_overlap_pairs``: over budget the
+    non-split large tier routes through the salted coarse-cell equi-join
+    instead of a broadcast (the ``<table>_large`` side is a stored table,
+    so the ``limit(budget+1).count()`` probe is a cheap scan, not a
+    recomputation)."""
 
     small_pairs = index_self_join(spark, table)
 
     idx = spark.table(table)
     large = spark.table(f"{table}_large")
+    l_ns = large.filter(~F.col("split"))
+    l_s = large.filter(F.col("split"))
+    overflow = (
+        large_budget is not None
+        and l_ns.limit(large_budget + 1).count() > large_budget
+    )
     other_small = (
         idx.select("doc_id", "west", "south", "east", "north")
         .dropDuplicates(["doc_id"])  # small-tier docs carry one extent each
@@ -197,9 +220,15 @@ def bbox_overlap_pairs_from_index(spark: SparkSession, table: str) -> DataFrame:
         large.withColumn("is_large", F.lit(True)).select(
             "doc_id", "west", "south", "east", "north", "is_large", "split"
         )
-    ).withColumn("is_overflow", F.lit(False))
-    l_ns = large.filter(~F.col("split"))
-    l_s = large.filter(F.col("split"))
+    ).withColumn(
+        "is_overflow", F.lit(overflow) & F.col("is_large") & ~F.col("split")
+    )
+    if overflow:
+        large_pairs = _overflow_pairs(
+            l_ns, other.filter(~F.col("split")), overflow_level, overflow_salt
+        )
+        split_pairs = _ljoin_large(other, l_s).dropDuplicates(["a_id", "b_id"])
+        return small_pairs.unionByName(large_pairs).unionByName(split_pairs)
     return small_pairs.unionByName(_large_tier_pairs(other, l_ns, l_s))
 
 
@@ -207,10 +236,16 @@ def point_in_bbox_from_index(
     spark: SparkSession,
     points: DataFrame,
     table: str,
+    large_budget: int | None = None,
+    overflow_level: int = OVERFLOW_LEVEL,
+    overflow_salt: int = OVERFLOW_SALT,
 ) -> DataFrame:
     """Points vs the bucketed index: the index side reads WITHOUT an
     Exchange (bucket metadata); only the (small) point stream shuffles to
-    the index's bucketing.  Same semantics as ``point_in_bbox``."""
+    the index's bucketing.  Same semantics as ``point_in_bbox``, including
+    the count-budgeted overflow tier (``large_budget``): over budget the
+    ENTIRE stored large table probes through the shared salted coarse-cell
+    equi-join (joins._pip_overflow_hits) instead of a broadcast."""
 
     level = index_level(spark, table)
     idx = spark.table(table)
@@ -221,13 +256,19 @@ def point_in_bbox_from_index(
     )
     small_hits = pts.join(idx, on="cell").filter(contains).select("point_id", "doc_id")
     large = spark.table(f"{table}_large")
-    large_hits = (
-        points.join(
-            F.broadcast(large),
-            (F.col("west") <= F.col("lon")) & (F.col("lon") <= F.col("east"))
-            & (F.col("south") <= F.col("lat")) & (F.col("lat") <= F.col("north")),
-        ).select("point_id", "doc_id")
-    )
+    if (
+        large_budget is not None
+        and large.limit(large_budget + 1).count() > large_budget
+    ):
+        large_hits = _pip_overflow_hits(points, large, overflow_level, overflow_salt)
+    else:
+        large_hits = (
+            points.join(
+                F.broadcast(large),
+                (F.col("west") <= F.col("lon")) & (F.col("lon") <= F.col("east"))
+                & (F.col("south") <= F.col("lat")) & (F.col("lat") <= F.col("north")),
+            ).select("point_id", "doc_id")
+        )
     return small_hits.unionByName(large_hits)
 
 

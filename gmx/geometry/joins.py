@@ -374,18 +374,7 @@ def point_in_bbox(
         large_budget is not None
         and large.limit(large_budget + 1).count() > large_budget
     ):
-        cols = ["doc_id", "west", "south", "east", "north"]
-        lidx = _salt_replicate(
-            _coarse_explode(large, overflow_level, cols), overflow_salt
-        )
-        pts_c = points.withColumn(
-            "ccell", point_cell_expr(F.col("lon"), F.col("lat"), overflow_level)
-        ).withColumn("osalt", F.pmod(F.hash("point_id"), F.lit(overflow_salt)))
-        large_hits = (
-            pts_c.join(lidx, on=["ccell", "osalt"])
-            .filter(contains)
-            .select("point_id", "doc_id")
-        )
+        large_hits = _pip_overflow_hits(points, large, overflow_level, overflow_salt)
     else:
         large_hits = (
             points.join(
@@ -395,6 +384,31 @@ def point_in_bbox(
             ).select("point_id", "doc_id")
         )
     return small_hits.unionByName(large_hits)
+
+
+def _pip_overflow_hits(
+    points: DataFrame, large: DataFrame, overflow_level: int, overflow_salt: int
+) -> DataFrame:
+    """Over-budget large-tier containment: points route to their single
+    coarse cell (no dedup needed), the large extents explode + salt-replicate
+    — shared by the on-the-fly and bucketed-index PIP joins."""
+
+    contains = (
+        (F.col("west") <= F.col("lon")) & (F.col("lon") <= F.col("east"))
+        & (F.col("south") <= F.col("lat")) & (F.col("lat") <= F.col("north"))
+    )
+    cols = ["doc_id", "west", "south", "east", "north"]
+    lidx = _salt_replicate(
+        _coarse_explode(large.select(*cols), overflow_level, cols), overflow_salt
+    )
+    pts_c = points.withColumn(
+        "ccell", point_cell_expr(F.col("lon"), F.col("lat"), overflow_level)
+    ).withColumn("osalt", F.pmod(F.hash("point_id"), F.lit(overflow_salt)))
+    return (
+        pts_c.join(lidx, on=["ccell", "osalt"])
+        .filter(contains)
+        .select("point_id", "doc_id")
+    )
 
 
 def knn_points(

@@ -390,6 +390,7 @@ SELECT point_id, rank, doc_id FROM (
 
     # the bucketed-index serving paths compute the SAME joins — same twins
     o["spatial_bbox_overlap_indexed"] = o["spatial_bbox_overlap_join"]
+    o["spatial_point_in_bbox_indexed"] = o["spatial_point_in_bbox"]
     o["spatial_knn_indexed"] = o["spatial_knn"]
 
     # tile footprints in quarter-degrees so everything stays integral
@@ -404,6 +405,8 @@ tiles AS (
 SELECT t.tile_id, e.did AS doc_id
 FROM tiles t JOIN ext e
   ON t.twq <= 2*e.eh AND 2*e.wh <= t.teq AND t.tsq <= 2*e.nh AND 2*e.sh <= t.tnq"""
+
+    o["spatial_tile_join_indexed"] = o["spatial_raster_tile_join"]
 
     o["dedup_exact"] = """
 SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS min_doc_id

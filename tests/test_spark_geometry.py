@@ -465,6 +465,39 @@ def test_bucketed_cell_index_joins(spark, extents, boxes, points, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {table}_large")
 
 
+def test_bucketed_index_forced_overflow(spark, extents, points, tmp_path):
+    """The count-budgeted overflow tier works on the bucketed-index path
+    too: with large_budget=0 the whole-world tier routes through the salted
+    coarse-cell equi-join instead of a broadcast, with identical results."""
+
+    from gmx.geometry.bucketed import (
+        bbox_overlap_pairs_from_index,
+        point_in_bbox_from_index,
+        write_cell_index,
+    )
+
+    table = "gmx_test_ovfidx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_large")
+    write_cell_index(extents, table, str(tmp_path / "ovfidx"))
+    assert spark.table(f"{table}_large").count() > 0  # whole-world boxes exist
+
+    base = {(r.a_id, r.b_id) for r in bbox_overlap_pairs_from_index(spark, table).collect()}
+    ovf = [(r.a_id, r.b_id)
+           for r in bbox_overlap_pairs_from_index(spark, table, large_budget=0).collect()]
+    assert len(ovf) == len(set(ovf))  # coarse reference-point dedup holds
+    assert set(ovf) == base
+
+    _, df = points
+    base_pts = {(r.point_id, r.doc_id)
+                for r in point_in_bbox_from_index(spark, df, table).collect()}
+    ovf_pts = {(r.point_id, r.doc_id)
+               for r in point_in_bbox_from_index(spark, df, table, large_budget=0).collect()}
+    assert ovf_pts == base_pts
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_large")
+
+
 def test_bucketed_centroid_index_knn(spark, extents, boxes, points, tmp_path):
     """knn_from_index equals knn_points exactly, and the probe join reads
     the centroid side from bucket metadata (bucketed scan, no Exchange
