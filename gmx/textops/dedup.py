@@ -294,7 +294,7 @@ def ngram_jaccard_pairs(
     )
 
 
-def dup_clusters(pairs: DataFrame, max_iters: int = 20, mode: str = "label") -> DataFrame:
+def dup_clusters(pairs: DataFrame, max_iters: int = 20, mode: str = "auto") -> DataFrame:
     """Connected components over near-duplicate pairs: (doc_id, cluster_rep)
     with cluster_rep = the smallest doc id in the component (by the id
     column's natural ordering).  A dedup PIPELINE needs cluster assignment, not just pairs —
@@ -302,23 +302,27 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20, mode: str = "label") -> 
 
     Two loop bodies, identical results (pytest-pinned equal):
 
-    - ``mode='label'`` (default): iterative min-label propagation — each
-      round every node takes the minimum of its own label and its
-      neighbors' labels (one equi-join + map-side-combined min agg per
-      round), terminating when a round changes nothing (cheap
-      ``limit(1).isEmpty`` probe, like kNN's escalation).  Rounds needed =
-      graph diameter; near-dup clusters are shallow (most are cliques or
-      stars from one shared band), so this converges in 2-4 rounds.
+    - label propagation (``mode='label'``): each round every node takes the
+      minimum of its own label and its neighbors' labels (one equi-join +
+      map-side-combined min agg per round), terminating when a round
+      changes nothing (cheap ``limit(1).isEmpty`` probe, like kNN's
+      escalation).  Rounds needed = graph diameter; near-dup clusters are
+      shallow (most are cliques or stars from one shared band), so this
+      converges in 2-4 rounds.
     - ``mode='star'``: large-star/small-star alternation (Kiveris et al.,
       "Connected Components in MapReduce and Beyond", SoCC'14) —
       O(log^2 n) rounds regardless of diameter, the right body for
       adversarial long chains (chained boilerplate near-dups in crawl
-      data), where label propagation needs diameter rounds and aborts.
-      Each half-round is one groupBy-min + one equi-join over the
-      (shrinking) edge set.
+      data), where label propagation needs diameter rounds.  Each
+      half-round is one groupBy-min + one equi-join over the (shrinking)
+      edge set.
 
-    Both fail LOUDLY (RuntimeError) if the round budget is exhausted before
-    convergence — never a silently split component.
+    ``mode='auto'`` (default) runs label propagation — the cheaper body on
+    the shallow graphs dedup actually produces — and, if the round budget
+    exhausts (a deep component), FALLS BACK to the star body instead of
+    aborting: the common case stays cheap and the adversarial case stays
+    correct.  Explicit ``mode='label'``/``'star'`` raise loudly
+    (RuntimeError) on non-convergence — never a silently split component.
 
     Only documents that appear in some pair are emitted (singletons are
     their own cluster by definition — emitting 10^12 identity rows would
@@ -376,10 +380,12 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20, mode: str = "label") -> 
     if not converged:
         # exiting via range exhaustion means labels are still moving: some
         # component's min-hop radius exceeds max_iters and the assignment
-        # would be silently WRONG (split components).  Fail loudly — raise
-        # max_iters, or switch the loop body to large-star/small-star for
-        # adversarial diameters.
+        # would be silently WRONG (split components).  In auto mode the
+        # diameter-proof star body takes over (from scratch — its rounds
+        # are not resumable from partial labels); otherwise fail loudly.
         labels.unpersist()
+        if mode == "auto":
+            return _dup_clusters_star(pairs, max_iters)
         raise RuntimeError(
             f"dup_clusters did not converge within max_iters={max_iters}; "
             "a component's radius exceeds the round budget — raise max_iters "

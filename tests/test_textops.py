@@ -279,10 +279,14 @@ def test_dup_clusters_star_handles_adversarial_chain(spark):
     pdf = spark.createDataFrame(pairs, "a_id long, b_id long")
 
     with pytest.raises(RuntimeError, match="did not converge"):
-        dup_clusters(pdf, max_iters=5).collect()
+        dup_clusters(pdf, max_iters=5, mode="label").collect()
 
     got = {(r.doc_id, r.cluster_rep) for r in dup_clusters(pdf, mode="star", max_iters=12).collect()}
     assert got == {(i, 1) for i in range(1, n + 1)}
+
+    # default auto mode: label budget exhausts, star fallback completes
+    auto = {(r.doc_id, r.cluster_rep) for r in dup_clusters(pdf, max_iters=12).collect()}
+    assert auto == got
 
 
 def test_dup_clusters_modes_agree_on_random_graph(spark):
