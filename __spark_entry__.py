@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": Q.text_fingerprint,
         "dedup_minhash_lsh": Q.dedup_minhash_lsh,
         "dedup_simhash": Q.dedup_simhash,
+        "dedup_simhash_pairs": Q.dedup_simhash_pairs,
         "ann_lsh_topk": Q.ann_lsh_topk,
         "ann_ivf_topk": Q.ann_ivf_topk,
         "dedup_clusters": Q.dedup_clusters,

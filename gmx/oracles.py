@@ -584,8 +584,7 @@ FROM k WHERE sample_bucket < CASE WHEN lang_guess = 'en' THEN 500 ELSE 100 END""
         f"THEN 1 ELSE -1 END for i in range(1, len(hlo)+1)]) > 0 THEN {1 << (b - 48)}::BIGINT ELSE 0 END)"
         for b in range(48, 64)
     )
-    o["dedup_simhash"] = f"""
-WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+    simhash_h_cte = """t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
 h AS (SELECT doc_id,
         [list_reduce(list_prepend(0::BIGINT,
             list_transform(regexp_split_to_array(tk,''), c -> unicode(c)::BIGINT)),
@@ -593,8 +592,26 @@ h AS (SELECT doc_id,
         [list_reduce(list_prepend(0::BIGINT,
             list_transform(regexp_split_to_array(tk,''), c -> unicode(c)::BIGINT)),
             (a,x) -> (a*999983+x) % 4294967296) for tk in toks] AS hhi
-      FROM t)
+      FROM t)"""
+    o["dedup_simhash"] = f"""
+WITH {simhash_h_cte}
 SELECT doc_id, {bit_terms} AS simhash, {bucket_terms} AS bucket FROM h"""
+
+    # simhash PAIRS twin: same simhash, four band-tagged 16-bit keys
+    # ((x >> s) & 65535 extracts the unsigned band under DuckDB's arithmetic
+    # shift — the mask discards the sign fill), exact popcount verify
+    band_exprs = ", ".join(
+        f"({b}*65536 + ((simhash >> {16 * b}) & 65535))" for b in range(4)
+    )
+    o["dedup_simhash_pairs"] = f"""
+WITH {simhash_h_cte},
+s AS (SELECT doc_id, {bit_terms} AS simhash FROM h),
+bk AS (SELECT doc_id, simhash, UNNEST([{band_exprs}]) AS key FROM s),
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                a.simhash AS sa, b.simhash AS sb
+         FROM bk a JOIN bk b ON a.key = b.key AND a.doc_id < b.doc_id)
+SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3"""
 
     o["dedup_embedding_cosine"] = """
 WITH q AS (

@@ -578,6 +578,15 @@ def dedup_simhash(spark, sf_dir):
     return simhash_buckets(_docs(spark, sf_dir), hash_mode="poly")
 
 
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRS via the 4x16-bit band join (pigeonhole:
+    recall exactly 1.0 at hamming <= 3) + exact popcount verify — the
+    pair-producing half of the SimHash dedup story, fully hash-gated."""
+    from gmx.textops import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), hash_mode="poly")
+
+
 def ann_cosine_topk(spark, sf_dir):
     return cosine_topk(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=KNN_K)
 

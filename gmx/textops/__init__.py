@@ -5,6 +5,7 @@ from gmx.textops.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_buckets,
+    simhash_pairs,
 )
 from gmx.textops.quality import (
     lang_id,
@@ -28,5 +29,5 @@ __all__ = [
     "embedding_near_dup", "embedding_near_dup_lsh", "exact_dup_groups",
     "lang_id", "lsh_buckets", "minhash_pairs", "minhash_signatures",
     "ngram_jaccard_pairs", "quality_scores", "rolling_fingerprint",
-    "simhash_buckets", "stratified_sample", "token_counts", "token_counts_regex",
+    "simhash_buckets", "simhash_pairs", "stratified_sample", "token_counts", "token_counts_regex",
 ]

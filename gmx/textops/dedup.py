@@ -478,6 +478,46 @@ def _dup_clusters_star(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     return out
 
 
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """SimHash near-duplicate PAIRS: (a_id, b_id, hamming) with
+    popcount(simhash_a XOR simhash_b) <= ``max_hamming``.
+
+    Candidate generation blocks on the four disjoint 16-bit bands of the
+    64-bit simhash (band-tagged keys -> explode -> equi-join): by
+    pigeonhole, a pair differing in at most 3 bits agrees on at least one
+    band, so recall is EXACTLY 1.0 for ``max_hamming`` <= 3 — not a
+    probabilistic LSH bound (asserted against brute force in tests).
+    Above 3 the same join runs but recall is no longer guaranteed.
+    Verification is the exact popcount on the pair — one bit_count(xor),
+    all JVM expressions; the 8-byte simhash rides the band explode
+    (join-back would move more bytes than it saves here)."""
+
+    sh = simhash_buckets(docs, text_col, hash_mode=hash_mode).select("doc_id", "simhash")
+    bands = F.array(*[
+        F.lit(b << 16).cast("long")
+        + F.shiftrightunsigned("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF).cast("long"))
+        for b in range(4)
+    ])
+    keys = sh.select("doc_id", "simhash", F.explode(bands).alias("key"))
+    a, b = keys.alias("a"), keys.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("long")
+    return (
+        a.join(b, (F.col("a.key") == F.col("b.key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+
 def simhash_buckets(
     docs: DataFrame, text_col: str = "text", prefix_bits: int = 16,
     hash_mode: str = "xxhash64",

@@ -249,6 +249,39 @@ def test_ann_ivf_trained_centroids_improve_recall(spark, sf_dir):
     emb.unpersist()
 
 
+def test_simhash_pairs_complete_vs_bruteforce(spark, docs):
+    """The 4x16-bit band join finds EVERY pair within hamming <= 3
+    (pigeonhole guarantee, not a probabilistic bound): compare against a
+    brute-force popcount over all simhash pairs — planted duplicate and
+    near-duplicate texts guarantee hits exist."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from gmx.textops import simhash_buckets, simhash_pairs
+
+    planted = spark.createDataFrame(
+        [
+            (9_000_001, "alpha beta gamma delta epsilon zeta"),
+            (9_000_002, "alpha beta gamma delta epsilon zeta"),  # hamming 0
+            (9_000_003, "alpha beta gamma delta epsilon eta"),   # near
+        ],
+        "doc_id long, text string",
+    )
+    d = docs.select("doc_id", "text").unionByName(planted)
+
+    sims = {r.doc_id: r.simhash for r in simhash_buckets(d, hash_mode="poly").collect()}
+    want = {
+        (min(a, b), max(a, b), bin((sims[a] ^ sims[b]) & (2**64 - 1)).count("1"))
+        for a, b in combinations(sims, 2)
+        if bin((sims[a] ^ sims[b]) & (2**64 - 1)).count("1") <= 3
+    }
+    assert (9_000_001, 9_000_002, 0) in want  # planted hit really exists
+    got = {(r.a_id, r.b_id, r.hamming)
+           for r in simhash_pairs(d, hash_mode="poly").collect()}
+    assert got == want
+
+
 def test_dup_clusters_connected_components(spark):
     """Min-label propagation finds exact components, including a long chain
     (forces multiple propagation rounds) and separate components."""
