@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": Q.dedup_ngram_jaccard,
         "ann_cosine_topk": Q.ann_cosine_topk,
         "dedup_embedding_cosine": Q.dedup_embedding_cosine,
+        "dedup_embedding_lsh": Q.dedup_embedding_lsh,
         "text_fingerprint": Q.text_fingerprint,
         "dedup_minhash_lsh": Q.dedup_minhash_lsh,
         "dedup_simhash": Q.dedup_simhash,

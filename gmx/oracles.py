@@ -683,6 +683,36 @@ scored AS (
   FROM cand c JOIN n qn ON qn.vec_id = c.qid JOIN n nn ON nn.vec_id = c.nid)
 SELECT qid AS query_id, rank, nid AS neighbor_id FROM scored WHERE rank <= 5"""
 
+    # embedding_near_dup_lsh twin (portable plane family): 8 bands x 8 sign
+    # bits (key = band*256 + bits, plane index = band*8 + bit), candidates
+    # share any band key, then the SAME exact integer predicate as the
+    # grid-exact path (threshold 0.35 -> 1225) — no false positives ever
+    band_keys_nd = ", ".join(
+        "(" + str(b * 256) + " + " + " + ".join(
+            f"(CASE WHEN {plane_sum(b * 8 + r)} > 0 THEN {1 << r} ELSE 0 END)"
+            for r in range(8)
+        ) + ")::BIGINT"
+        for b in range(8)
+    )
+    o["dedup_embedding_lsh"] = f"""
+WITH q AS (
+  SELECT vec_id,
+         [CAST(floor(CAST(embedding[i] AS DOUBLE)*1000 + 0.5) AS BIGINT)
+          for i in range(1, len(embedding)+1)] AS v
+  FROM embeddings),
+n AS (SELECT vec_id, v, CAST(list_sum([x*x for x in v]) AS BIGINT) AS nrm FROM q),
+pk AS (SELECT vec_id, UNNEST([{band_keys_nd}]) AS key FROM n),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM pk a JOIN pk b ON a.key = b.key AND a.vec_id < b.vec_id),
+p AS (
+  SELECT c.a_id, c.b_id,
+         CAST(list_sum([x.v[i]*y.v[i] for i in range(1, len(x.v)+1)]) AS BIGINT) AS dot,
+         x.nrm AS na, y.nrm AS nb
+  FROM cand c JOIN n x ON x.vec_id = c.a_id JOIN n y ON y.vec_id = c.b_id)
+SELECT a_id, b_id FROM p
+WHERE dot > 0 AND 10000*dot*dot >= 1225*na*nb"""
+
     # ann_ivf_topk twin (assign_mode='int'): stride-sampled centroids
     # (vec_id % 37, first 16 by id), coarse assignment by the monotone image
     # of cosine sign(dot)*dot^2/|c|^2 over QUANTIZED integers (one IEEE

@@ -598,6 +598,21 @@ def dedup_embedding_cosine(spark, sf_dir):
     return embedding_near_dup(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def dedup_embedding_lsh(spark, sf_dir):
+    """The sub-quadratic LSH blocking path for embedding near-dups, gated
+    end to end: portable plane family (hash_mode='poly') so the DuckDB twin
+    reproduces candidate generation + the exact integer verify.  Same
+    threshold as the grid-exact gate so the emitted pairs are the
+    LSH-recalled subset of dedup_embedding_cosine's."""
+    from gmx.textops.similarity import embedding_near_dup_lsh
+
+    return embedding_near_dup_lsh(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        threshold_hundredths=35,
+        hash_mode="poly",
+    )
+
+
 def ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k (the scale path; recall vs exact
     asserted in tests).  Portable plane family (hash_mode='poly') so the

@@ -143,6 +143,7 @@ def embedding_near_dup_lsh(
     vec_col: str = "embedding",
     bands: int = 8,
     band_bits: int = 8,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs via multi-band hyperplane LSH blocking — the
     sub-quadratic scale path: ``bands`` independent signatures of
@@ -161,7 +162,7 @@ def embedding_near_dup_lsh(
     base = embeddings.select(
         F.col(id_col).alias("vid"), q.alias("v")
     ).withColumn("nrm", _dot(F.col("v"), F.col("v")))
-    keys = _band_keys(F.col("v"), bands, band_bits)
+    keys = _band_keys(F.col("v"), bands, band_bits, hash_mode)
     exploded = base.select("vid", "v", "nrm", F.explode(keys).alias("band_key"))
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
