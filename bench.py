@@ -171,11 +171,14 @@ def main() -> None:
 
     def _knn_fresh_count():
         # release kNN's internal candidate caches after materializing so the
-        # next rep recomputes from scratch (and the JVM heap stays flat)
+        # next rep recomputes from scratch (and the JVM heap stays flat);
+        # the module registry survives any DataFrame transformation, unlike
+        # the _gmx_cached attribute (ADVICE r4)
+        from gmx.geometry.joins import release_knn_caches
+
         df = knn_from_index(spark, pts, cent_tab)
         n = df.count()
-        for c in getattr(df, "_gmx_cached", []):
-            c.unpersist()
+        release_knn_caches()
         return n
 
     def build_indexes():

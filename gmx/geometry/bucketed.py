@@ -83,6 +83,7 @@ def write_cell_index(
         f"ALTER TABLE {table} SET TBLPROPERTIES "
         f"('gmx.cell_level'='{level}', 'gmx.buckets'='{buckets}')"
     )
+    _LEVEL_MEMO[table] = level
     large = ext.filter(F.col("is_large")).select(
         "doc_id", "west", "south", "east", "north", "split"
     )
@@ -128,6 +129,7 @@ def write_centroid_index(
         f"ALTER TABLE {table} SET TBLPROPERTIES "
         f"('gmx.cell_level'='{level}', 'gmx.buckets'='{buckets}')"
     )
+    _LEVEL_MEMO[table] = level
 
 
 def knn_from_index(
@@ -148,12 +150,33 @@ def knn_from_index(
     return _knn_probe(points, idx.select("doc_id", "cx", "cy"), idx, k, level, ring)
 
 
-def index_level(spark: SparkSession, table: str) -> int:
-    """The grid level the index table was written at (table property)."""
+# Per-process memo: table name -> written grid level.  Levels are
+# immutable for a given index generation and every writer in this module
+# records the level here, so from-index plan CONSTRUCTION is zero-job after
+# the first lookup (the SHOW TBLPROPERTIES driver round-trip is paid once
+# per process per table).  An external rewrite at a different level must
+# drop the entry (see invalidate_index_level).
+_LEVEL_MEMO: dict[str, int] = {}
 
+
+def invalidate_index_level(table: str) -> None:
+    """Forget the memoized grid level for ``table`` (after an out-of-band
+    rewrite); the next :func:`index_level` call re-reads the property."""
+
+    _LEVEL_MEMO.pop(table, None)
+
+
+def index_level(spark: SparkSession, table: str) -> int:
+    """The grid level the index table was written at (table property),
+    memoized per process so repeated from-index plan builds cost no job."""
+
+    if table in _LEVEL_MEMO:
+        return _LEVEL_MEMO[table]
     rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
     props = {r["key"]: r["value"] for r in rows}
-    return int(props["gmx.cell_level"])
+    level = int(props["gmx.cell_level"])
+    _LEVEL_MEMO[table] = level
+    return level
 
 
 def index_self_join(spark: SparkSession, table: str) -> DataFrame:

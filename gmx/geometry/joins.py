@@ -446,6 +446,24 @@ def knn_points(
     return _knn_probe(points, cents, cent_idx, k, level, ring)
 
 
+# Every _knn_probe invocation's internal candidate/straggler caches, in
+# spawn order.  The returned DataFrame reads them lazily, so they cannot be
+# freed at return time; release_knn_caches() frees all past generations
+# once their results are materialized (gate runners and bench reps call it
+# between invocations so repeated kNN calls do not accumulate cached
+# partitions — ADVICE r4).
+_KNN_CACHES: list[DataFrame] = []
+
+
+def release_knn_caches() -> None:
+    """Unpersist every cache any prior kNN call left behind.  Safe to call
+    while a result is still un-materialized — the plan recomputes instead
+    of reading cache (correct, just slower)."""
+
+    while _KNN_CACHES:
+        _KNN_CACHES.pop().unpersist()
+
+
 def _knn_probe(
     points: DataFrame,
     cents: DataFrame,
@@ -570,8 +588,13 @@ def _knn_probe(
     # after materializing via this attribute — without it the caches also
     # make a REPEATED identical call partially cache-served (Spark's cache
     # manager substitutes matching plan subtrees), which misstates repeat
-    # timings as operator speed
-    out._gmx_cached = list(cands) + ([remaining] if remaining is not None else [])
+    # timings as operator speed.  The attribute is fragile (any
+    # transformation drops it), so the caches are ALSO registered in the
+    # module-level _KNN_CACHES list; release_knn_caches() frees every
+    # generation regardless of what the caller did to the DataFrame.
+    live = list(cands) + ([remaining] if remaining is not None else [])
+    out._gmx_cached = live
+    _KNN_CACHES.extend(live)
     return out
 
 

@@ -244,6 +244,8 @@ def events_sessionize_stream(spark, sf_dir):
     end to end.  Retention TTL is set far beyond the event span so sentinel
     expiry cannot renumber sessions mid-gate."""
 
+    import glob
+    import os
     import tempfile
     import time as _time
 
@@ -257,10 +259,19 @@ def events_sessionize_stream(spark, sf_dir):
     cut = (int(bounds["lo"]) + int(bounds["hi"])) // 2
     # strict time partition: batch 2's events all exceed batch 1's watermark,
     # so no event is ever late and timeouts are always end+gap+1 (the twin's
-    # closed-form); distinct mtimes pin file order = batch order
+    # closed-form).  FileStreamSource orders files by modification time, so
+    # batch order is pinned by setting mtimes EXPLICITLY (os.utime, 2s
+    # apart) rather than sleeping between writes — a coarse-granularity
+    # filesystem or a slow write can no longer tie the timestamps and let
+    # the source fall back to (random part-UUID) path order (ADVICE r4).
     ev.filter(us <= F.lit(cut)).coalesce(1).write.mode("append").parquet(src)
-    _time.sleep(1.1)
+    t0 = _time.time()
+    for f in glob.glob(f"{src}/*.parquet"):
+        os.utime(f, (t0, t0))
+    first = set(glob.glob(f"{src}/*.parquet"))
     ev.filter(us > F.lit(cut)).coalesce(1).write.mode("append").parquet(src)
+    for f in set(glob.glob(f"{src}/*.parquet")) - first:
+        os.utime(f, (t0 + 2.0, t0 + 2.0))
     sessionize_stream_watermarked(
         spark, src, out, ckpt, idle_state_retention_minutes=10_000_000
     )
@@ -455,7 +466,13 @@ def spatial_point_in_bbox(spark, sf_dir):
 
 
 def spatial_knn(spark, sf_dir):
-    """Exact kNN over extent centroids (cell-neighborhood probe + fallback)."""
+    """Exact kNN over extent centroids (cell-neighborhood probe + fallback).
+    Prior invocations' internal candidate caches are released at entry so
+    repeated gate runs keep the executor cache flat (ADVICE r4: the select
+    below drops the _gmx_cached attribute)."""
+    from gmx.geometry.joins import release_knn_caches
+
+    release_knn_caches()
     return knn_points(_points(spark, sf_dir), _extents(spark, sf_dir), k=KNN_K).select(
         "point_id", "rank", "doc_id"
     )
@@ -522,9 +539,12 @@ def spatial_tile_join_indexed(spark, sf_dir):
 
 def spatial_knn_indexed(spark, sf_dir):
     """kNN served from the bucketed centroid index under the driver gate —
-    same escalating-ring core and oracle as spatial_knn."""
+    same escalating-ring core and oracle as spatial_knn.  Releases prior
+    kNN cache generations at entry (see spatial_knn)."""
     from gmx.geometry.bucketed import knn_from_index
+    from gmx.geometry.joins import release_knn_caches
 
+    release_knn_caches()
     return knn_from_index(
         spark, _points(spark, sf_dir), _gate_index(spark, sf_dir, "cent"), k=KNN_K
     ).select("point_id", "rank", "doc_id")
@@ -625,6 +645,24 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+# per-process memo of the near-dup pair set the two clustering twins share:
+# both gates consume the IDENTICAL minhash band join (same docs, threshold,
+# poly hash), so pay its shuffle once and let both iterative bodies read the
+# persisted pairs — the same amortization _GATE_INDEXES gives the spatial
+# *_indexed gates (r4 verdict #1: keeps all 54 contract queries cheap under
+# the driver gate).  The standalone dedup_minhash gate stays un-memoized so
+# the band-join pipeline itself is still gated fresh.
+_GATE_PAIRS: dict[str, DataFrame] = {}
+
+
+def _gate_near_dup_pairs(spark, sf_dir) -> DataFrame:
+    if sf_dir not in _GATE_PAIRS:
+        p = minhash_pairs(_docs(spark, sf_dir), threshold=0.1, hash_mode="poly").persist()
+        p.count()
+        _GATE_PAIRS[sf_dir] = p
+    return _GATE_PAIRS[sf_dir]
+
+
 def dedup_clusters(spark, sf_dir):
     """Connected components over MinHash-LSH near-dup pairs -> cluster
     assignment (doc_id, cluster_rep) — iterative min-label propagation;
@@ -632,9 +670,7 @@ def dedup_clusters(spark, sf_dir):
     transitive closure over the identical pair set (portable poly hash)."""
     from gmx.textops.dedup import dup_clusters
 
-    return dup_clusters(
-        minhash_pairs(_docs(spark, sf_dir), threshold=0.1, hash_mode="poly")
-    )
+    return dup_clusters(_gate_near_dup_pairs(spark, sf_dir))
 
 
 def dedup_clusters_star(spark, sf_dir):
@@ -643,10 +679,7 @@ def dedup_clusters_star(spark, sf_dir):
     and oracle as dedup_clusters."""
     from gmx.textops.dedup import dup_clusters
 
-    return dup_clusters(
-        minhash_pairs(_docs(spark, sf_dir), threshold=0.1, hash_mode="poly"),
-        mode="star",
-    )
+    return dup_clusters(_gate_near_dup_pairs(spark, sf_dir), mode="star")
 
 
 def sample_stratified(spark, sf_dir):
@@ -659,13 +692,18 @@ def sample_stratified(spark, sf_dir):
 
 
 def ann_ivf_topk(spark, sf_dir):
-    """IVF approximate top-k (second scale path: inverted lists from
-    stride-sampled coarse centroids).  Integer assign_mode so the coarse
-    quantizer is DuckDB-reproducible and the whole dataflow is hash-gated
-    (production default stays the numpy matmul; recall vs exact and
-    int==float agreement asserted in tests)."""
+    """IVF approximate top-k (second scale path: inverted lists from coarse
+    centroids), gated WITH one exact-integer Lloyd training iteration (r4
+    verdict #6): the driver-gated path and the recall-bearing trained path
+    are the same code, and the DuckDB twin unrolls the iteration into CTEs
+    with bit-identical integer centroid updates.  Integer assign_mode so
+    the whole dataflow is hash-gated (production default stays the numpy
+    matmul; recall vs exact and int==float agreement asserted in tests)."""
     from gmx.textops.similarity import ann_ivf_topk as _ivf
 
     return _ivf(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=KNN_K, assign_mode="int"
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        k=KNN_K,
+        assign_mode="int",
+        train_iters=1,
     )

@@ -22,6 +22,10 @@ from pyspark.sql import DataFrame, functions as F
 # overflows int64 under ANSI mode.
 MINHASH_PRIME = (1 << 31) - 1
 
+# diagnostics: rounds the most recent _dup_clusters_star call took to
+# converge (tests assert the warm-started auto fallback beats scratch)
+_LAST_STAR_ROUNDS = 0
+
 # ``hash_mode`` on the hash-based dedup ops:
 # - "xxhash64" (default): JVM-native, fastest — the production path
 # - "poly": polynomial codepoint hash computable in plain integer SQL, so the
@@ -321,8 +325,16 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20, mode: str = "auto") -> D
     the shallow graphs dedup actually produces — and, if the round budget
     exhausts (a deep component), FALLS BACK to the star body instead of
     aborting: the common case stays cheap and the adversarial case stays
-    correct.  Explicit ``mode='label'``/``'star'`` raise loudly
-    (RuntimeError) on non-convergence — never a silently split component.
+    correct.  The fallback is WARM-STARTED (r4 verdict #4): each (node,
+    partial-label) pair is a max_iters-hop shortcut edge unioned into the
+    star input, so the star rounds see an effective depth ~max_iters times
+    smaller — label-propagation work is reused, not discarded.  Correct
+    because a label is always a node of the same component (labels only
+    travel along edges), so shortcuts change no component; the star body's
+    own O(log^2 n) convergence then yields the identical minima (round
+    count asserted strictly below scratch in tests).  Explicit
+    ``mode='label'``/``'star'`` raise loudly (RuntimeError) on
+    non-convergence — never a silently split component.
 
     Only documents that appear in some pair are emitted (singletons are
     their own cluster by definition — emitting 10^12 identity rows would
@@ -340,6 +352,7 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20, mode: str = "auto") -> D
         .withColumn("lbl", F.col("node"))
         .persist()
     )
+    seed_labels = labels  # the only persist()-backed generation (see below)
     converged = False
     for _ in range(max_iters):
         nbr_min = (
@@ -372,25 +385,44 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20, mode: str = "auto") -> D
             .limit(1)
             .isEmpty()
         )
-        labels.unpersist()
+        # no unpersist on the outgoing generation here: every post-seed
+        # labels is localCheckpoint-backed, and a Dataset unpersist() does
+        # NOT free a checkpointed RDD (it isn't in the cache manager) —
+        # dropping the Python reference lets ContextCleaner GC release the
+        # executor blocks, which is the supported path (ADVICE r4)
         labels = new_labels
         if converged:
             break
-    edges.unpersist()
+    seed_labels.unpersist()
     if not converged:
         # exiting via range exhaustion means labels are still moving: some
         # component's min-hop radius exceeds max_iters and the assignment
         # would be silently WRONG (split components).  In auto mode the
-        # diameter-proof star body takes over (from scratch — its rounds
-        # are not resumable from partial labels); otherwise fail loudly.
-        labels.unpersist()
+        # diameter-proof star body takes over, WARM-STARTED (r4 verdict
+        # #4): every (node, partial-label) pair is a max_iters-hop SHORTCUT
+        # edge (the label is a node of the same component — labels only
+        # travel along edges), so unioning them into the star input cuts
+        # the effective depth by ~max_iters and the star rounds with it
+        # (round-count asserted < scratch in tests).  Components are
+        # unchanged (shortcuts connect already-connected nodes), so the
+        # result is provably identical to scratch.  Otherwise fail loudly.
         if mode == "auto":
-            return _dup_clusters_star(pairs, max_iters)
+            shortcuts = labels.filter(F.col("node") != F.col("lbl")).select(
+                F.col("node").alias("a_id"), F.col("lbl").alias("b_id")
+            )
+            warm = pairs.select("a_id", "b_id").unionByName(shortcuts)
+            # the star body persists + counts its input eagerly at entry,
+            # so the label checkpoint is read exactly once more
+            out = _dup_clusters_star(warm, max_iters)
+            edges.unpersist()
+            return out
+        edges.unpersist()
         raise RuntimeError(
             f"dup_clusters did not converge within max_iters={max_iters}; "
             "a component's radius exceeds the round budget — raise max_iters "
             "or use mode='star' (O(log^2 n) rounds at any diameter)"
         )
+    edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_rep"))
 
 
@@ -413,6 +445,7 @@ def _dup_clusters_star(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     exhaustion of ``max_iters`` raises rather than emitting split
     components, same contract as the label-propagation body."""
 
+    global _LAST_STAR_ROUNDS
     edges = (
         pairs.select(
             F.greatest("a_id", "b_id").alias("u"), F.least("a_id", "b_id").alias("v")
@@ -421,6 +454,7 @@ def _dup_clusters_star(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .dropDuplicates(["u", "v"])
         .persist()
     )
+    seed_edges = edges  # the only persist()-backed generation (see loop note)
     n_edges = edges.count()
 
     def large_star(e: DataFrame) -> DataFrame:
@@ -448,22 +482,28 @@ def _dup_clusters_star(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         return hang_nbrs.unionByName(hang_self).dropDuplicates(["u", "v"])
 
     converged = False
+    rounds = 0
     for _ in range(max_iters):
         # localCheckpoint truncates lineage: one round references the prior
         # edge set ~6x, so composed plans would grow 6^rounds (see the
         # label-mode comment; same GraphFrames-style pattern)
         new_edges = small_star(large_star(edges)).localCheckpoint()
+        rounds += 1
         n_new = new_edges.count()
         converged = (
             n_new == n_edges
             and new_edges.exceptAll(edges).limit(1).isEmpty()
         )
-        edges.unpersist()
+        # post-seed generations are localCheckpoint-backed: Dataset
+        # unpersist() would be a no-op on them (not in the cache manager);
+        # dropping the reference lets ContextCleaner release the blocks
+        # (ADVICE r4) — only the persisted seed needs an explicit free
         edges, n_edges = new_edges, n_new
         if converged:
             break
+    seed_edges.unpersist()
+    _LAST_STAR_ROUNDS = rounds
     if not converged:
-        edges.unpersist()
         raise RuntimeError(
             f"dup_clusters(mode='star') did not converge within "
             f"max_iters={max_iters} rounds"

@@ -33,8 +33,9 @@ def token_counts_regex(docs: DataFrame, text_col: str = "text") -> DataFrame:
     counted with ``regexp_count`` (leftmost non-overlapping, identical
     semantics in Java regex and DuckDB's RE2, so the query is fully
     hash-gated).  This is the subword-budget estimator a training pipeline
-    runs BEFORE paying for a real BPE encode: piece counts upper-bound the
-    BPE token count (BPE only merges within pre-token pieces).  Explicit
+    runs BEFORE paying for a real BPE encode: piece counts lower-bound the
+    BPE token count (every pre-token piece encodes to >= 1 BPE token, and
+    BPE only merges within pieces — a long letter run is several).  Explicit
     space class (not \\s) so both engines agree on the corpus alphabet.
     Returns (doc_id, n_word_pieces, n_number_pieces, n_punct_pieces,
     n_pieces)."""

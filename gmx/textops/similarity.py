@@ -194,7 +194,7 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     hash_mode: str = "xxhash64",
-    candidate_mode: str = "ride",
+    candidate_mode: str = "join_back",
 ) -> DataFrame:
     """Approximate top-k via multi-band (OR-amplified) hyperplane LSH:
     corpus and queries each explode into ``bands`` band keys; a neighbor is a
@@ -204,11 +204,13 @@ def ann_lsh_topk(
     recall >= 0.9 vs the exact cosine_topk is asserted in tests.
     Deterministic (fixed pseudo-random planes).
 
-    ``candidate_mode`` (PLANS.md §11): "ride" carries vectors through the
-    band explode (no join-back, band shuffle ~ bands x vector bytes);
-    "join_back" shuffles only (id, band_key) per band and joins vectors
-    back onto the deduped candidate pairs — the right trade when vectors
-    are large relative to the 16-byte keys.  Identical results."""
+    ``candidate_mode`` (PLANS.md §11): "join_back" (default, matching the
+    MinHash and n-gram paths) shuffles only (id, band_key) per band and
+    joins vectors back onto the deduped candidate pairs — at corpus scale
+    the band shuffle carries ~16 B/doc/band instead of band x vector
+    bytes; "ride" carries vectors through the band explode (no join-back),
+    cheaper only when vectors are tiny relative to the keys.  Identical
+    results (mode-equality pytest)."""
 
     from pyspark.sql import Window
 
@@ -294,12 +296,17 @@ def ann_ivf_topk(
     per-(list, dim) mean — one matmul stage + one map-side-combined agg per
     iteration, with only lists x dim aggregate rows ever collected).
     Training balances the inverted lists on clustered real embeddings, so
-    a probe visits fewer off-target lists; float-mode only (the trained
-    centroids are float means — the exact-integer ``assign_mode='int'``
-    gate path stays untrained), and recall >= the untrained baseline is
-    asserted in tests.  Assignment is an Arrow-batched pandas UDF doing one
-    numpy matmul per batch — vectorized, no per-row Python.  Recall vs the
-    exact ``cosine_topk`` is asserted in tests.
+    a probe visits fewer off-target lists; recall >= the untrained baseline
+    is asserted in tests ON BOTH MODES.  In float mode, assignment is an
+    Arrow-batched pandas UDF doing one numpy matmul per batch — vectorized,
+    no per-row Python — and trained centroids are float means.  In int mode
+    (r4 verdict #6) the SAME Lloyd loop runs with the exact-integer
+    quantizer: per-(list, dim) SUM/COUNT are exact BIGINTs and each trained
+    coordinate is floor(double(sum)/count + 0.5) — one correctly-rounded
+    IEEE divide on exact inputs — so the trained centroids, and therefore
+    the whole trained dataflow, stay bit-identical in DuckDB and the driver
+    gate runs WITH training.  Recall vs the exact ``cosine_topk`` is
+    asserted in tests.
 
     ``assign_mode`` (like the dedup ops' hash_mode):
     - "float" (default, production): numpy matmul over unit-normalized
@@ -336,34 +343,59 @@ def ann_ivf_topk(
             F.lit(1).cast("int").alias("rank"),
             F.col("nid").alias("neighbor_id"),
         ).limit(0)
-    if train_iters and assign_mode == "int":
-        raise ValueError(
-            "train_iters requires assign_mode='float': trained centroids are "
-            "float means, incompatible with the exact-integer gate quantizer"
-        )
     if assign_mode == "int":
-        cent_vecs = [[int(x) for x in r["nvec"]] for r in cents]
-        ranked = []
-        for i, c in enumerate(cent_vecs):
-            nc = sum(x * x for x in c) or 1
-            cdot = F.aggregate(
-                F.zip_with(
-                    F.col("nvec"),
-                    F.array(*[F.lit(x).cast("long") for x in c]),
-                    lambda a, b: a * b,
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
+        import math
+
+        def _int_probes_expr(cent_vecs, n_take):
+            ranked = []
+            for i, c in enumerate(cent_vecs):
+                nc = sum(x * x for x in c) or 1
+                cdot = F.aggregate(
+                    F.zip_with(
+                        F.col("nvec"),
+                        F.array(*[F.lit(x).cast("long") for x in c]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+                # sign(dot) * dot^2 / |c|^2: exact integer numerator (bounded
+                # by (dim * QUANT^2)^2 << 2^63), one IEEE divide; negated so
+                # the lexicographic struct sort is (best-first, then centroid
+                # index)
+                neg = -(
+                    F.signum(cdot.cast("double"))
+                    * (cdot * cdot).cast("double")
+                    / F.lit(float(nc))
+                )
+                ranked.append(F.struct(neg.alias("nis"), F.lit(i).alias("idx")))
+            return F.transform(
+                F.slice(F.array_sort(F.array(*ranked)), 1, n_take), lambda s: s["idx"]
             )
-            # sign(dot) * dot^2 / |c|^2: exact integer numerator (bounded by
-            # (dim * QUANT^2)^2 << 2^63), one IEEE divide; negated so the
-            # lexicographic struct sort is (best-first, then centroid index)
-            neg = -(F.signum(cdot.cast("double")) * (cdot * cdot).cast("double") / F.lit(float(nc)))
-            ranked.append(F.struct(neg.alias("nis"), F.lit(i).alias("idx")))
-        probes_expr = F.transform(
-            F.slice(F.array_sort(F.array(*ranked)), 1, nprobe), lambda s: s["idx"]
-        )
-        assigned = base.withColumn("probes", probes_expr)
+
+        cent_vecs = [[int(x) for x in r["nvec"]] for r in cents]
+        # Lloyd refinement stays exact-integer reproducible (r4 verdict #6 —
+        # the gated path and the recall-bearing path are now the same code):
+        # assignment uses the integer quantizer above; the per-(list, dim)
+        # SUM/COUNT are exact BIGINTs, and the new centroid coordinate is
+        # floor(double(sum)/count + 0.5) — a single correctly-rounded IEEE
+        # divide on exact inputs, so DuckDB's twin computes bit-identical
+        # trained centroids.  Lists that captured no vectors keep their seed.
+        for _ in range(train_iters):
+            stats = (
+                base.withColumn("lid", _int_probes_expr(cent_vecs, 1)[0])
+                .select("lid", F.posexplode("nvec").alias("pos", "val"))
+                .groupBy("lid", "pos")
+                .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+                .collect()
+            )
+            new_vecs = [list(c) for c in cent_vecs]
+            for r in stats:
+                new_vecs[r["lid"]][r["pos"]] = int(
+                    math.floor(float(r["s"]) / float(r["c"]) + 0.5)
+                )
+            cent_vecs = new_vecs
+        assigned = base.withColumn("probes", _int_probes_expr(cent_vecs, nprobe))
     else:
         C = np.asarray([r["nvec"] for r in cents], dtype=np.float64)
         def _nearest_list_udf(Cn_cap):

@@ -552,3 +552,40 @@ def test_cover_cells_match_oracle(extents, boxes):
                 want.add((d, (4 * 2**28 + ix) * 2**28 + iy))
     got = {(r.doc_id, r.cell) for r in cover_cells(extents, 4).collect()}
     assert got == want
+
+
+def test_index_level_memoized(spark, extents, tmp_path, monkeypatch):
+    """After a write (or one cold lookup) index_level is a pure dict hit:
+    from-index plan construction runs NO driver job / SQL round-trip.
+    VERDICT r4 #5."""
+
+    from gmx.geometry import bucketed
+    from gmx.geometry.bucketed import (
+        index_level,
+        invalidate_index_level,
+        write_cell_index,
+    )
+
+    table = "gmx_test_levelmemo"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_large")
+    write_cell_index(extents, table, str(tmp_path / "lvlidx"))
+
+    # the writer primed the memo — a repeated lookup must not touch the
+    # catalog at all (any spark.sql would blow up here)
+    lvl = index_level(spark, table)
+    monkeypatch.setattr(
+        spark, "sql", lambda *a, **k: (_ for _ in ()).throw(AssertionError("SQL issued"))
+    )
+    for _ in range(5):
+        assert index_level(spark, table) == lvl
+    monkeypatch.undo()
+
+    # invalidation forces a real re-read and re-primes the memo
+    invalidate_index_level(table)
+    assert table not in bucketed._LEVEL_MEMO
+    assert index_level(spark, table) == lvl
+    assert bucketed._LEVEL_MEMO[table] == lvl
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_large")

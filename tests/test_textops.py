@@ -162,9 +162,15 @@ def test_ann_lsh_candidate_modes_agree(spark, sf_dir):
     from gmx.textops.similarity import ann_lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    ride = {(r.query_id, r.rank, r.neighbor_id) for r in ann_lsh_topk(emb).collect()}
+    ride = {(r.query_id, r.rank, r.neighbor_id)
+            for r in ann_lsh_topk(emb, candidate_mode="ride").collect()}
     jb = {(r.query_id, r.rank, r.neighbor_id)
           for r in ann_lsh_topk(emb, candidate_mode="join_back").collect()}
+    # join_back is the default (corpus-scale shuffle shape); both modes agree
+    import inspect
+
+    sig = inspect.signature(ann_lsh_topk)
+    assert sig.parameters["candidate_mode"].default == "join_back"
     assert ride == jb and ride
 
 
@@ -226,10 +232,9 @@ def test_ann_ivf_recall_vs_exact(spark, sf_dir):
 
 def test_ann_ivf_trained_centroids_improve_recall(spark, sf_dir):
     """A few distributed Lloyd iterations refine the stride-sampled coarse
-    quantizer: recall vs exact must be >= the untrained baseline (and the
-    incompatible train+int combination raises)."""
-    import pytest
-
+    quantizer: recall vs exact must be >= the untrained baseline — on BOTH
+    assignment modes (r4 verdict #6: the gated exact-integer path trains
+    with the same loop, so the recall claim now rests on the gated code)."""
     from gmx.textops.similarity import ann_ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
@@ -244,8 +249,9 @@ def test_ann_ivf_trained_centroids_improve_recall(spark, sf_dir):
     trained = recall(train_iters=3)
     assert trained >= base, (trained, base)
 
-    with pytest.raises(ValueError, match="assign_mode='float'"):
-        ann_ivf_topk(emb, assign_mode="int", train_iters=1)
+    base_int = recall(assign_mode="int")
+    trained_int = recall(assign_mode="int", train_iters=3)
+    assert trained_int >= base_int, (trained_int, base_int)
     emb.unpersist()
 
 
@@ -314,12 +320,20 @@ def test_dup_clusters_star_handles_adversarial_chain(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         dup_clusters(pdf, max_iters=5, mode="label").collect()
 
+    from gmx.textops import dedup as dedup_mod
+
     got = {(r.doc_id, r.cluster_rep) for r in dup_clusters(pdf, mode="star", max_iters=12).collect()}
     assert got == {(i, 1) for i in range(1, n + 1)}
+    scratch_rounds = dedup_mod._LAST_STAR_ROUNDS
+    assert scratch_rounds > 1
 
-    # default auto mode: label budget exhausts, star fallback completes
+    # default auto mode: label budget exhausts, star fallback completes —
+    # WARM-STARTED on the label-contracted graph (every path ~12x shorter),
+    # so it converges in strictly fewer star rounds than scratch (r4 #4)
     auto = {(r.doc_id, r.cluster_rep) for r in dup_clusters(pdf, max_iters=12).collect()}
     assert auto == got
+    assert dedup_mod._LAST_STAR_ROUNDS < scratch_rounds, (
+        dedup_mod._LAST_STAR_ROUNDS, scratch_rounds)
 
 
 def test_dup_clusters_modes_agree_on_random_graph(spark):
