@@ -231,6 +231,15 @@ def main() -> None:
     upd_corpus.unpersist()
     upd_meta.unpersist()
 
+    # steal-burst marker (r4 verdict #7): reps whose wall exceeds 2x the
+    # query's median are almost certainly hypervisor-steal windows on this
+    # host (documented in BENCH/BASELINE.md); reporting the count per query
+    # lets round-over-round comparisons be machine-filtered instead of
+    # eyeballed from query_dists
+    outlier_reps = {
+        name: sum(1 for t in ds if t > 2 * times[name])
+        for name, ds in dists.items()
+    }
     spatial_sec = round(sum(times[q] for q in SPATIAL), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(json.dumps({
@@ -246,6 +255,7 @@ def main() -> None:
         "scale": scale,
         "reps": reps,
         "query_dists": dists,
+        "outlier_reps": outlier_reps,
     }))
     spark.stop()
 

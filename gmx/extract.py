@@ -48,6 +48,192 @@ STANDARD_UNKNOWN = ""
 ATTRIBUTE_PROPS = {"attributes", "attributes_inline", "attr_catalog_url"}
 
 
+def _heads(*chains) -> set[str]:
+    """First path component of every path in the given chains — the set of
+    top-level sections a chain can touch (paths are root-anchored; a bare
+    '@attr' touches only the root and contributes nothing)."""
+
+    out = set()
+    for chain in chains:
+        if not chain:
+            continue
+        paths = (chain,) if isinstance(chain, str) else chain
+        for p in paths:
+            head = p.split("/", 1)[0]
+            if head and not head.startswith("@"):
+                out.add(head)
+    return out
+
+
+def _spec_heads(spec: StandardSpec, props: set) -> set[str] | None:
+    """Top-level sections the given props can read in one spec, or None when
+    pruning is unsafe (a needed prop is a callable — arbitrary code may walk
+    the whole tree)."""
+
+    if spec.callables and props & set(spec.callables):
+        return None
+    roots: set[str] = set()
+    for prop in props:
+        if prop in (spec.keyword_groups or {}):
+            roots |= _heads(spec.keyword_groups[prop].root)
+        if prop in spec.complexes and prop not in ("digital_forms",):
+            c = spec.complexes[prop]
+            roots |= _heads(c.root, *c.subs.values())
+        if prop == "digital_forms" and "digital_forms" in spec.complexes:
+            c = spec.complexes["digital_forms"]
+            roots |= _heads(c.root, *c.subs.values())
+            if spec.transfer_options is not None:
+                t = spec.transfer_options
+                roots |= _heads(t.root, *t.subs.values())
+        if prop == "dates":
+            d = spec.dates
+            roots |= _heads(d.root, d.single, d.multiple, d.range_begin, d.range_end)
+        if prop == "raster_info" and spec.raster_dims is not None:
+            r = spec.raster_dims
+            roots |= _heads(
+                r.root, r.type_chain, r.size_chain, r.value_chain,
+                r.units_chain, r.num_dims_chain,
+            )
+        if prop in spec.report_items:
+            roots |= _heads(spec.report_items[prop].root)
+        if prop == "attributes":
+            roots |= _heads(spec.attr_catalog_url)
+        roots |= _heads(spec.simple.get(prop))
+        roots |= _heads((spec.keywords or {}).get(prop))
+        roots |= _heads(spec.extra_keywords.get(prop))
+    return roots
+
+
+_PRUNE_PLAN_CACHE: dict[frozenset, dict | None] = {}
+
+
+def pruning_plan(props: set, specs: dict | None = None) -> dict | None:
+    """Per-standard top-level section tags a pruned extraction may read —
+    the input to :func:`_parse_pruned`.  None = don't prune (a needed prop
+    has a callable binding somewhere — arbitrary code may walk the whole
+    tree).  Memoized per props set for the built-in specs."""
+
+    key = frozenset(props)
+    if specs is None and key in _PRUNE_PLAN_CACHE:
+        return _PRUNE_PLAN_CACHE[key]
+    all_specs = SPECS if specs is None else {**SPECS, **specs}
+    plan: dict | None = {}
+    for name, spec in all_specs.items():
+        h = _spec_heads(spec, props)
+        if h is None:
+            plan = None
+            break
+        plan[name] = frozenset(h)
+    if specs is None:
+        _PRUNE_PLAN_CACHE[key] = plan
+    return plan
+
+
+def _feed_until_root(parser: ET.XMLPullParser, text: str, fed: int):
+    """Feed in small steps until the root start event arrives; returns
+    (root_or_None, fed)."""
+
+    root = None
+    while root is None and fed < len(text):
+        nxt = min(fed + 512, len(text))
+        parser.feed(text[fed:nxt])
+        fed = nxt
+        for _, el in parser.read_events():
+            root = el
+            break
+    return root, fed
+
+
+def _parse_pruned(text: str, plan: dict) -> ET.Element | None:
+    """Truncated parse for pruned projections (r4 verdict #3): parse only
+    the prefix that contains every COMPLETE top-level section the decided
+    standard's needed props can read, skipping the rest of the document —
+    at a bounding-box projection that skips ~half of each document's parse
+    bytes (and all but the root tag of catalog/unknown-root documents).
+
+    Exactness argument (results identical to a full parse):
+
+    - standard dispatch: an ISO root tag decides by itself; a shared
+      ``metadata``/``Metadata`` root is ArcGIS iff a probe node is a root
+      child — decided from the parsed prefix when a probe child is present,
+      by full-text absence of every probe substring when none occurs, and
+      by FALLING BACK to the full parser when ambiguous (probe substrings
+      exist but none surfaced as a root child in the prefix);
+    - the cut point is past the LAST occurrence of every tracked present
+      section's close tag, so no later close exists; a later RE-OPEN of a
+      needed tag is caught by a string scan of the remainder and falls
+      back; untracked sections re-opening later are never read by the
+      decided standard's needed paths;
+    - needed paths are anchored at root children with tracked tags, so a
+      partially-fed untracked section (attached but incomplete) can never
+      match them;
+    - namespaced documents (anything that could produce Clark-notation
+      tags) fall back — the strip pass needs the whole tree.
+
+    The one documented divergence: malformed content AFTER the cut point
+    is not detected (the full parser would raise BadContent).  A pruned
+    projection validates only what it parses; the full-extraction path is
+    unchanged.
+
+    Returns None whenever truncation is not provably safe; the caller then
+    uses :func:`xmlkit.parse_xml`."""
+
+    if not text or "xmlns" in text or "xml:" in text:
+        return None  # empty/None content: let the full parser raise BadContent
+    parser = ET.XMLPullParser(events=("start",))
+    try:
+        root, fed = _feed_until_root(parser, text, 0)
+        if root is None:
+            return None  # no element at all: let the full parser raise
+        rt = root.tag
+        if rt in ("MD_Metadata", "MI_Metadata"):
+            cands = ("iso",)
+        elif rt in ("metadata", "Metadata"):
+            cands = ("fgdc", "arcgis")
+        else:
+            # unknown or catalog root: extract_record stops at dispatch, so
+            # the root tag is all it needs
+            return root
+
+        track = set()
+        for c in cands:
+            track |= plan.get(c, frozenset())
+        present = [t for t in track if ("<" + t) in text]
+        stop = fed
+        for t in present:
+            p = text.rfind("</" + t + ">")
+            if p >= 0:
+                stop = max(stop, p + len(t) + 3)
+        if stop >= len(text) - 64:
+            return None  # nothing worth skipping
+        if stop > fed:
+            # no read_events drain: the queued start events just sit in the
+            # parser's deque until it is garbage-collected — iterating them
+            # cost ~40% of the pruned ISO kernel for nothing
+            parser.feed(text[fed:stop])
+            fed = stop
+
+        if len(cands) == 2:
+            children = {c.tag for c in root}
+            if any(n in children for n in ARCGIS_NODES):
+                std = "arcgis"
+            elif not any(("<" + n) in text for n in ARCGIS_NODES):
+                std = "fgdc"
+            else:
+                return None  # probe exists but not yet a root child: ambiguous
+        else:
+            std = cands[0]
+
+        rest = text[fed:]
+        for t in plan.get(std, frozenset()):
+            if ("<" + t) in rest:
+                return None  # a needed section re-opens later: full parse
+        return root
+    except ET.ParseError as exc:
+        # same prefix, same parser: the full parse fails identically
+        raise xmlkit.BadContent(f"invalid XML: {exc}") from exc
+
+
 def detect_standard(root_tag: str, child_tags: set[str]) -> str:
     """Dispatch rule (get_metadata_parser, metadata_parser.py:46-80):
     ISO roots MD_Metadata|MI_Metadata; shared <metadata>/<Metadata> root is
@@ -79,12 +265,26 @@ def _split_multi(values: list[str]) -> list[str]:
 
 def _parse_struct(tree: ET.Element, spec: ComplexSpec, prop: str) -> dict | None:
     """Single complex struct: subs resolve absolute against the whole tree
-    (parse_complex with the full tree, metadata_parser.py:288-294)."""
+    (parse_complex with the full tree, metadata_parser.py:288-294).
+
+    Single-path sub chains anchored under ``spec.root`` share one walk of
+    the root path instead of each re-walking it (ISO's bounding box is four
+    6-step paths with a common 5-step prefix — the shared walk cuts the
+    per-struct step count ~4x); identical results: splitting a plain child
+    path at any step preserves the level-order traversal."""
 
     out = {}
     multi = MULTI_SUBS.get(prop, set())
+    prefix = spec.root + "/"
+    bases: list | None = None
     for sub, chain in spec.subs.items():
-        vals = xmlkit.resolve_chain(tree, chain)
+        if len(chain) == 1 and chain[0].startswith(prefix):
+            if bases is None:
+                bases = xmlkit.find_all(tree, spec.root)
+            tail = chain[0][len(prefix):]
+            vals = [v for b in bases for v in xmlkit.values_at(b, tail)]
+        else:
+            vals = xmlkit.resolve_chain(tree, chain)
         if sub in multi:
             out[sub] = _split_multi(vals)
         else:
@@ -319,7 +519,19 @@ def extract_record(
     rec["standard"] = STANDARD_UNKNOWN
     rec["error"] = ""
     try:
-        tree = xmlkit.parse_xml(xml_text)
+        tree = None
+        if props is not None:
+            # pruned projection: a truncated parse that stops after the
+            # last needed top-level section of the dispatched standard
+            # (r4 verdict #3) — identical needed-path results, ~half the
+            # parse bytes on mixed-standard corpora; falls back to the
+            # full parser whenever truncation is not provably safe
+            # (see _parse_pruned)
+            plan = pruning_plan(props, specs)
+            if plan is not None:
+                tree = _parse_pruned(xml_text, plan)
+        if tree is None:
+            tree = xmlkit.parse_xml(xml_text)
     except xmlkit.BadContent as exc:
         rec["error"] = str(exc)
         return rec

@@ -39,6 +39,14 @@ def parse_xml(text: str) -> ET.Element:
         root = ET.fromstring(text)
     except ET.ParseError as exc:
         raise BadContent(f"invalid XML: {exc}") from exc
+    # No namespace machinery can fire without a declaration: expat only
+    # produces Clark-notation ("{uri}local") tags for declared prefixes /
+    # default namespaces ("xmlns") or the predefined "xml:" prefix.  One
+    # C-speed substring scan skips the whole strip loop for the (dominant)
+    # namespace-free corpus — the loop below was ~24% of pruned-extraction
+    # kernel time (r4 verdict #3).
+    if "xmlns" not in text and "xml:" not in text:
+        return root
     # ElementTree Clark notation puts the namespace FIRST ("{uri}local"),
     # so a startswith check + rpartition replaces the old per-element regex
     # sub — the strip loop was ~1/3 of total parse cost in the extraction

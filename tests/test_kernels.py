@@ -238,3 +238,88 @@ def test_fgdc_raster_resolution_fallback():
     assert info["x_resolution"] == "0.1"
     assert info["y_resolution"] == "0.2"
     assert info["row_count"] == "10"
+
+
+# ---------------------------------------------------------- pruned parsing
+
+
+def test_pruned_parse_equals_full_on_corpus():
+    """The truncated pruned-projection parse (r4 verdict #3) returns the
+    exact values of a full parse on every corpus standard + catalogs, for
+    single- and multi-prop projections."""
+    from gmx import corpus as C
+
+    docs = []
+    for i in range(0, 120):
+        docs.append("".join(t for (k, t, m, o) in C.make_spans(i) if k == "text"))
+        if C.catalog_kind(i) == "ok":
+            docs.append(
+                "".join(t for (k, t, m, o) in C.make_catalog_spans(i) if k == "text")
+            )
+    subsets = [
+        {"bounding_box"}, {"title"}, {"dates"}, {"attributes"},
+        {"raster_info"}, {"digital_forms"}, {"place_keywords"},
+        {"bounding_box", "title", "dates", "contacts"},
+    ]
+    for xml in docs:
+        full = extract_record(xml)
+        for props in subsets:
+            pruned = extract_record(xml, props=props)
+            assert pruned["standard"] == full["standard"]
+            for p in props:
+                if p in pruned:
+                    assert pruned[p] == full[p], (props, p)
+
+
+def test_pruned_parse_adversarial_shapes():
+    """The fallback conditions each keep pruned == full: a needed section
+    re-opening after the cut, an ArcGIS probe appearing only nested in an
+    FGDC document, a probe section after the data sections, namespaced
+    documents, and unknown roots."""
+    from gmx.extract import _parse_pruned, pruning_plan
+
+    plan = pruning_plan({"bounding_box"})
+    pad = "<other>" + "x" * 200 + "</other>"
+
+    # needed section re-opens after the would-be cut -> full-parse values
+    reopen = (
+        "<metadata><idinfo><spdom><bounding><westbc>1</westbc></bounding>"
+        f"</spdom></idinfo>{pad}<idinfo><spdom><bounding><eastbc>2</eastbc>"
+        "</bounding></spdom></idinfo></metadata>"
+    )
+    assert _parse_pruned(reopen, plan) is None  # must decline to truncate
+    assert extract_record(reopen, props={"bounding_box"})["bounding_box"] == \
+        extract_record(reopen)["bounding_box"]
+
+    # ArcGIS probe only NESTED inside an FGDC doc, plus a top-level probe
+    # after the data section: dispatch must stay identical to a full parse
+    tricky = (
+        "<metadata><idinfo><spdom><bounding><westbc>1</westbc><eastbc>2</eastbc>"
+        "<southbc>3</southbc><northbc>4</northbc></bounding></spdom></idinfo>"
+        f"{pad}<Esri><CreaDate>x</CreaDate></Esri></metadata>"
+    )
+    full = extract_record(tricky)
+    pruned = extract_record(tricky, props={"bounding_box"})
+    assert pruned["standard"] == full["standard"] == "arcgis"
+    assert pruned["bounding_box"] == full["bounding_box"]
+
+    # namespaced doc: falls back (Clark-notation strip needs the whole tree)
+    ns = (
+        '<metadata xmlns:x="urn:a"><idinfo><spdom><bounding>'
+        "<westbc>1</westbc><eastbc>2</eastbc><southbc>3</southbc>"
+        f"<northbc>4</northbc></bounding></spdom></idinfo>{pad}</metadata>"
+    )
+    assert _parse_pruned(ns, plan) is None
+    assert extract_record(ns, props={"bounding_box"})["bounding_box"] == \
+        extract_record(ns)["bounding_box"]
+
+    # unknown root: dispatch-only, error string identical
+    weird = f"<banana><idinfo/>{pad}</banana>"
+    assert extract_record(weird, props={"bounding_box"})["error"] == \
+        extract_record(weird)["error"]
+
+    # malformed PREFIX: same BadContent routing as the full parser
+    broken = "<metadata><idinfo><spdom></idinfo></metadata>" + pad
+    assert extract_record(broken, props={"bounding_box"})["error"].startswith(
+        "invalid XML"
+    )
