@@ -201,9 +201,15 @@ def _parse_pruned(text: str, plan: dict) -> ET.Element | None:
         present = [t for t in track if ("<" + t) in text]
         stop = fed
         for t in present:
-            p = text.rfind("</" + t + ">")
+            # match "</t" rather than "</t>": a close tag may legally carry
+            # whitespace before '>' ("</idinfo >"), and a longer-tag match
+            # ("</idinfoExt>") only EXTENDS the cut — conservative either way
+            p = text.rfind("</" + t)
             if p >= 0:
-                stop = max(stop, p + len(t) + 3)
+                q = text.find(">", p)
+                if q < 0:
+                    return None  # truncated/malformed close: full parse
+                stop = max(stop, q + 1)
         if stop >= len(text) - 64:
             return None  # nothing worth skipping
         if stop > fed:

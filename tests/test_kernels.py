@@ -323,3 +323,19 @@ def test_pruned_parse_adversarial_shapes():
     assert extract_record(broken, props={"bounding_box"})["error"].startswith(
         "invalid XML"
     )
+
+
+def test_pruned_parse_whitespace_close_tag():
+    """A close tag with legal whitespace ("</idinfo >") must still anchor
+    the cut — the section's values equal the full parse's."""
+
+    pad = "<other>" + "y" * 200 + "</other>"
+    xml = (
+        "<metadata><idinfo><spdom><bounding><westbc>1</westbc><eastbc>2</eastbc>"
+        "<southbc>3</southbc><northbc>4</northbc></bounding></spdom></idinfo >"
+        f"{pad}</metadata>"
+    )
+    full = extract_record(xml)
+    pruned = extract_record(xml, props={"bounding_box"})
+    assert full["bounding_box"] == {"east": "2", "south": "3", "west": "1", "north": "4"}
+    assert pruned["bounding_box"] == full["bounding_box"]
