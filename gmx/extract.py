@@ -105,17 +105,30 @@ def _spec_heads(spec: StandardSpec, props: set) -> set[str] | None:
 
 
 _PRUNE_PLAN_CACHE: dict[frozenset, dict | None] = {}
+# Custom-spec plans: one slot per props set holding (specs_object, plan).
+# Keyed by IDENTITY with a strong reference to the keyed object (so its
+# id cannot be recycled while cached) — the per-executor mapInPandas
+# closure unpickles ONE specs dict and reuses it for every row, so this
+# hits from the second document on; without it the extension path rebuilt
+# the plan per document inside the hot kernel.
+_PRUNE_PLAN_CUSTOM: dict[frozenset, tuple[dict, dict | None]] = {}
 
 
 def pruning_plan(props: set, specs: dict | None = None) -> dict | None:
     """Per-standard top-level section tags a pruned extraction may read —
     the input to :func:`_parse_pruned`.  None = don't prune (a needed prop
     has a callable binding somewhere — arbitrary code may walk the whole
-    tree).  Memoized per props set for the built-in specs."""
+    tree).  Memoized per props set (built-in specs) and per (props, specs
+    instance) for spec overrides."""
 
     key = frozenset(props)
-    if specs is None and key in _PRUNE_PLAN_CACHE:
-        return _PRUNE_PLAN_CACHE[key]
+    if specs is None:
+        if key in _PRUNE_PLAN_CACHE:
+            return _PRUNE_PLAN_CACHE[key]
+    else:
+        hit = _PRUNE_PLAN_CUSTOM.get(key)
+        if hit is not None and hit[0] is specs:
+            return hit[1]
     all_specs = SPECS if specs is None else {**SPECS, **specs}
     plan: dict | None = {}
     for name, spec in all_specs.items():
@@ -126,6 +139,8 @@ def pruning_plan(props: set, specs: dict | None = None) -> dict | None:
         plan[name] = frozenset(h)
     if specs is None:
         _PRUNE_PLAN_CACHE[key] = plan
+    else:
+        _PRUNE_PLAN_CUSTOM[key] = (specs, plan)
     return plan
 
 
@@ -178,8 +193,11 @@ def _parse_pruned(text: str, plan: dict) -> ET.Element | None:
     Returns None whenever truncation is not provably safe; the caller then
     uses :func:`xmlkit.parse_xml`."""
 
-    if not text or "xmlns" in text or "xml:" in text:
-        return None  # empty/None content: let the full parser raise BadContent
+    if not isinstance(text, str) or not text or "xmlns" in text or "xml:" in text:
+        # empty/None/non-str content: the full parser owns the error
+        # semantics (BadContent for empty, the historical TypeError for
+        # bytes) — pruning must never change what a bad input produces
+        return None
     parser = ET.XMLPullParser(events=("start",))
     try:
         root, fed = _feed_until_root(parser, text, 0)
@@ -230,10 +248,28 @@ def _parse_pruned(text: str, plan: dict) -> ET.Element | None:
         else:
             std = cands[0]
 
-        rest = text[fed:]
+        # A tag can straddle the feed boundary when the cut is
+        # chunk-aligned (stop == fed from _feed_until_root): expat buffers
+        # the incomplete trailing token (no start event, nothing attached
+        # to root), so a SELF-CLOSING needed section whose open tag spans
+        # the boundary ("<spdom code='X'/>" with no close tag anywhere to
+        # anchor a later cut) would be neither parsed nor visible to a
+        # scan of text[fed:] — r5 review.  Exact guard: if the last '<'
+        # before the boundary has no '>' before it, that token is the one
+        # potentially-unconsumed tag, so start the remainder scan there.
+        # Everything before a fully-consumed token fired its events (a
+        # needed element open-and-'>' before fed is either self-closing —
+        # complete — or its close tag anchored stop past it).  A
+        # close-anchored cut cannot dangle (text[stop-1] == '>'), so this
+        # adds nothing on that path.
+        scan_from = fed
+        last_lt = text.rfind("<", 0, fed)
+        if last_lt >= 0 and text.find(">", last_lt, fed) < 0:
+            scan_from = last_lt
+        rest = text[scan_from:]
         for t in plan.get(std, frozenset()):
             if ("<" + t) in rest:
-                return None  # a needed section re-opens later: full parse
+                return None  # a needed section (re)opens later: full parse
         return root
     except ET.ParseError as exc:
         # same prefix, same parser: the full parse fails identically

@@ -83,7 +83,7 @@ def write_cell_index(
         f"ALTER TABLE {table} SET TBLPROPERTIES "
         f"('gmx.cell_level'='{level}', 'gmx.buckets'='{buckets}')"
     )
-    _LEVEL_MEMO[table] = level
+    _LEVEL_MEMO[_memo_key(spark, table)] = level
     large = ext.filter(F.col("is_large")).select(
         "doc_id", "west", "south", "east", "north", "split"
     )
@@ -125,11 +125,12 @@ def write_centroid_index(
         .format("parquet")
         .saveAsTable(table)
     )
-    extents.sparkSession.sql(
+    spark = extents.sparkSession
+    spark.sql(
         f"ALTER TABLE {table} SET TBLPROPERTIES "
         f"('gmx.cell_level'='{level}', 'gmx.buckets'='{buckets}')"
     )
-    _LEVEL_MEMO[table] = level
+    _LEVEL_MEMO[_memo_key(spark, table)] = level
 
 
 def knn_from_index(
@@ -150,32 +151,48 @@ def knn_from_index(
     return _knn_probe(points, idx.select("doc_id", "cx", "cy"), idx, k, level, ring)
 
 
-# Per-process memo: table name -> written grid level.  Levels are
-# immutable for a given index generation and every writer in this module
-# records the level here, so from-index plan CONSTRUCTION is zero-job after
-# the first lookup (the SHOW TBLPROPERTIES driver round-trip is paid once
-# per process per table).  An external rewrite at a different level must
-# drop the entry (see invalidate_index_level).
+# Per-process memo: database-qualified table name -> written grid level.
+# Levels are immutable for a given index generation and every writer in
+# this module records the level here, so from-index plan CONSTRUCTION is
+# zero-job after the first lookup (the SHOW TBLPROPERTIES driver round-trip
+# is paid once per process per table).  Unqualified names are scoped to the
+# session's current database so two tables sharing a bare name in
+# different databases cannot share a slot.  The memo trusts THIS process's
+# view: a rewrite by another process at a different level is invisible
+# until invalidate_index_level is called — same staleness contract as any
+# driver-side metadata cache (Spark's own relation cache included); the
+# table property remains the durable source of truth.
 _LEVEL_MEMO: dict[str, int] = {}
+
+
+def _memo_key(spark: SparkSession, table: str) -> str:
+    return table if "." in table else f"{spark.catalog.currentDatabase()}.{table}"
 
 
 def invalidate_index_level(table: str) -> None:
     """Forget the memoized grid level for ``table`` (after an out-of-band
-    rewrite); the next :func:`index_level` call re-reads the property."""
+    rewrite); the next :func:`index_level` call re-reads the property.
+    An unqualified name drops the entry in EVERY database — over-
+    invalidation is safe (the next lookup pays one driver round-trip)."""
 
-    _LEVEL_MEMO.pop(table, None)
+    if "." in table:
+        _LEVEL_MEMO.pop(table, None)
+    else:
+        for k in [k for k in _LEVEL_MEMO if k.rsplit(".", 1)[-1] == table]:
+            _LEVEL_MEMO.pop(k, None)
 
 
 def index_level(spark: SparkSession, table: str) -> int:
     """The grid level the index table was written at (table property),
     memoized per process so repeated from-index plan builds cost no job."""
 
-    if table in _LEVEL_MEMO:
-        return _LEVEL_MEMO[table]
+    key = _memo_key(spark, table)
+    if key in _LEVEL_MEMO:
+        return _LEVEL_MEMO[key]
     rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
     props = {r["key"]: r["value"] for r in rows}
     level = int(props["gmx.cell_level"])
-    _LEVEL_MEMO[table] = level
+    _LEVEL_MEMO[key] = level
     return level
 
 

@@ -448,10 +448,12 @@ def knn_points(
 
 # Every _knn_probe invocation's internal candidate/straggler caches, in
 # spawn order.  The returned DataFrame reads them lazily, so they cannot be
-# freed at return time; release_knn_caches() frees all past generations
-# once their results are materialized (gate runners and bench reps call it
-# between invocations so repeated kNN calls do not accumulate cached
-# partitions — ADVICE r4).
+# freed at return time; instead each _knn_probe call releases every PRIOR
+# generation at entry (so a long-lived driver looping kNN through the
+# public API holds at most one generation — unbounded growth was an r5
+# review finding), and release_knn_caches() frees the last one.  kNN calls
+# are assumed sequential per process; unpersisting a still-un-materialized
+# prior result is correctness-safe (its plan recomputes from lineage).
 _KNN_CACHES: list[DataFrame] = []
 
 
@@ -479,6 +481,12 @@ def _knn_probe(
     ``gmx.geometry.bucketed.knn_from_index`` (where the index side of the
     probe join plans without an Exchange); ``cents`` is the same rows
     without the cell column, feeding the exact broadcast fallback."""
+
+    # cap the registry at one live generation: prior calls' caches are
+    # already materialized (this function's emptiness probes run jobs at
+    # call time), and any not-yet-collected prior RESULT recomputes from
+    # lineage — correct, just slower
+    release_knn_caches()
 
     n = nx(level)
     dist = (F.col("lon") - F.col("cx")) ** 2 + (F.col("lat") - F.col("cy")) ** 2

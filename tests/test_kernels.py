@@ -325,6 +325,34 @@ def test_pruned_parse_adversarial_shapes():
     )
 
 
+def test_pruned_parse_selfclosing_straddle():
+    """A SELF-CLOSING needed section has no close tag to anchor the cut, so
+    when its open tag straddles the pull parser's 512-byte feed boundary
+    expat buffers it incomplete (no start event) and a remainder scan
+    starting AT the boundary misses its "<idinfo" prefix — the
+    dangling-tag guard (r5 review) must force the full parse instead of
+    silently dropping the section.  Swept across the boundary, including
+    opens whose prefix sits before fed but whose '>' lands after it."""
+    from gmx.extract import _parse_pruned, pruning_plan
+
+    plan = pruning_plan({"bounding_box"})
+    tail = "<other>" + "z" * 300 + "</other>"
+    elem = '<idinfo code="X" pad="' + "w" * 24 + '"/>'
+    for pos in range(512 - len(elem) - 4, 516):
+        head = "<metadata><filler>"
+        body = "p" * (pos - len(head) - len("</filler>")) + "</filler>"
+        xml = head + body + elem + tail + "</metadata>"
+        assert xml.index("<idinfo") == pos
+        tree = _parse_pruned(xml, plan)
+        # either the guard declined (None) or the parsed tree really does
+        # carry the idinfo child — never a silently-dropped section
+        if tree is not None:
+            assert any(c.tag == "idinfo" for c in tree), pos
+        full = extract_record(xml)
+        pruned = extract_record(xml, props={"bounding_box"})
+        assert pruned["standard"] == full["standard"] == "fgdc", pos
+
+
 def test_pruned_parse_whitespace_close_tag():
     """A close tag with legal whitespace ("</idinfo >") must still anchor
     the cut — the section's values equal the full parse's."""

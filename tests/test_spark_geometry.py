@@ -581,11 +581,15 @@ def test_index_level_memoized(spark, extents, tmp_path, monkeypatch):
         assert index_level(spark, table) == lvl
     monkeypatch.undo()
 
-    # invalidation forces a real re-read and re-primes the memo
+    # invalidation forces a real re-read and re-primes the memo; keys are
+    # scoped to the current database so bare names cannot collide across
+    # databases (r5 review)
+    key = bucketed._memo_key(spark, table)
+    assert key.endswith("." + table)
     invalidate_index_level(table)
-    assert table not in bucketed._LEVEL_MEMO
+    assert key not in bucketed._LEVEL_MEMO
     assert index_level(spark, table) == lvl
-    assert bucketed._LEVEL_MEMO[table] == lvl
+    assert bucketed._LEVEL_MEMO[key] == lvl
 
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     spark.sql(f"DROP TABLE IF EXISTS {table}_large")
