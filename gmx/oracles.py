@@ -513,6 +513,32 @@ SELECT doc_id,
             + len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_pieces
 FROM documents"""
 
+    # repetition filters: the naive per-bigram GROUP BY recomputation of the
+    # Spark side's shuffle-free sorted-run-length pass (same numbers, wholly
+    # different algorithm).  FLOOR is explicit: DuckDB CAST(double AS
+    # BIGINT) rounds to nearest, Spark's cast truncates.
+    o["text_repetition"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), bg AS (
+  SELECT doc_id, t[CAST(i AS BIGINT)] || ' ' || t[CAST(i AS BIGINT) + 1] AS bigram
+  FROM toks, UNNEST(range(1, len(t))) AS r(i)
+), counts AS (
+  SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram
+), agg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(FLOOR(MAX(c) * 1000 / SUM(c)) AS BIGINT) AS top_bigram_per_mille,
+         CAST(FLOOR(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1000 / SUM(c)) AS BIGINT)
+             AS dup_bigram_per_mille
+  FROM counts GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       COALESCE(a.top_bigram_per_mille, 0) AS top_bigram_per_mille,
+       COALESCE(a.dup_bigram_per_mille, 0) AS dup_bigram_per_mille
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
     o["text_quality"] = """
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,

@@ -573,6 +573,16 @@ def text_quality(spark, sf_dir):
     return quality_scores(_docs(spark, sf_dir))
 
 
+def text_repetition(spark, sf_dir):
+    """Gopher-style bigram-repetition quality filters (top-bigram and
+    duplicated-bigram per-mille) — shuffle-free run-length pass over each
+    row's sorted bigram array; the oracle recomputes per-bigram GROUP BY
+    counts, cross-checking algorithm against algorithm."""
+    from gmx.textops.quality import repetition_scores
+
+    return repetition_scores(_docs(spark, sf_dir))
+
+
 def text_lang_id(spark, sf_dir):
     return lang_id(_docs(spark, sf_dir))
 

@@ -10,6 +10,7 @@ from gmx.textops.dedup import (
 from gmx.textops.quality import (
     lang_id,
     quality_scores,
+    repetition_scores,
     rolling_fingerprint,
     stratified_sample,
     token_counts,

@@ -126,6 +126,78 @@ def stratified_sample(
     )
 
 
+def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality filters over token bigrams: the
+    fraction of bigram instances taken by the single most frequent bigram
+    (``top_bigram_per_mille`` — boilerplate/template detector) and the
+    fraction of bigram instances whose bigram occurs more than once
+    (``dup_bigram_per_mille`` — loop/spam detector).  Integer per-mille
+    (floor) so results hash identically across engines.
+
+    Scale story: per-document only, so the whole operator is ONE
+    shuffle-free Project over the scan — bigrams are built with
+    transform/slice, sorted per row, and both statistics come from a single
+    run-length pass over the sorted array (F.aggregate): max run = top
+    bigram count, and runs longer than 1 sum to the duplicated-instance
+    count.  No explode, no groupBy — at 10^12 docs this is a map stage,
+    unlike the naive (doc_id, bigram) groupBy which shuffles every token.
+    The DuckDB oracle recomputes the same numbers the naive way (GROUP BY
+    per bigram), so the gate cross-checks algorithm against algorithm, not
+    code against itself.  Returns (doc_id, n_bigrams, top_bigram_per_mille,
+    dup_bigram_per_mille)."""
+
+    toks = F.split(F.col(text_col), " ")
+    bigrams = F.transform(
+        F.slice(toks, 1, F.size(toks) - 1),
+        # element_at is 1-based: pair slot i (0-based) with token i+2
+        lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2)),
+    )
+    acc0 = F.struct(
+        # "" can never equal a real bigram (every bigram contains the
+        # joining space), so it is a safe first-element sentinel
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dup"),
+        F.lit(0).cast("long").alias("mx"),
+    )
+
+    def step(acc, x):
+        same = acc["prev"] == x
+        run2 = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        # second occurrence retro-counts the first instance too (+2), later
+        # occurrences add themselves (+1)
+        dup2 = (
+            F.when(same & (acc["run"] == 1), acc["dup"] + 2)
+            .when(same, acc["dup"] + 1)
+            .otherwise(acc["dup"])
+        )
+        return F.struct(
+            x.alias("prev"),
+            run2.alias("run"),
+            dup2.alias("dup"),
+            F.greatest(acc["mx"], run2).alias("mx"),
+        )
+
+    staged = docs.select(
+        "doc_id",
+        F.size(bigrams).cast("long").alias("n_bigrams"),
+        F.aggregate(F.array_sort(bigrams), acc0, step).alias("rl"),
+    )
+    nb = F.col("n_bigrams")
+    # FLOOR on both engines: DuckDB's CAST(double AS BIGINT) rounds to
+    # nearest while Spark's truncates, so the oracle floors explicitly too
+    return staged.select(
+        "doc_id",
+        "n_bigrams",
+        F.when(nb > 0, F.floor(F.col("rl.mx") * 1000 / nb))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("top_bigram_per_mille"),
+        F.when(nb > 0, F.floor(F.col("rl.dup") * 1000 / nb))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("dup_bigram_per_mille"),
+    )
+
+
 def rolling_fingerprint(docs: DataFrame, text_col: str = "text", mod: int = 1 << 40) -> DataFrame:
     """Order-sensitive document fingerprint: polynomial rolling hash over the
     text's unicode codepoints (fp = sum cp_i * B^(n-i) mod 2^40), folded with

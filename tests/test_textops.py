@@ -400,3 +400,56 @@ def test_ann_ivf_degenerate_corpora(spark, sf_dir):
     small = emb.filter("vec_id >= 1 and vec_id <= 20")
     assert ann_ivf_topk(small, k=3, query_mod=5).count() > 0
     assert ann_ivf_topk(emb.filter("vec_id < 0")).count() == 0
+
+
+def test_repetition_scores_match_python_oracle(docs):
+    """The shuffle-free sorted-run-length pass equals a per-bigram Counter
+    recomputation on every corpus doc, plus planted degenerate shapes:
+    a fully repetitive doc, an all-distinct doc, a one-token doc (no
+    bigrams), and an empty string."""
+    import collections
+
+    from gmx.textops import repetition_scores
+
+    spark = docs.sparkSession
+    planted = spark.createDataFrame(
+        [
+            (100001, "spam spam spam spam spam spam"),
+            (100002, "a b c d e f g"),
+            (100003, "solo"),
+            (100004, ""),
+        ],
+        "doc_id long, text string",
+    )
+    data = docs.select("doc_id", "text").unionByName(planted)
+    got = {
+        r.doc_id: (r.n_bigrams, r.top_bigram_per_mille, r.dup_bigram_per_mille)
+        for r in repetition_scores(data).collect()
+    }
+    for r in data.collect():
+        t = r.text.split(" ")
+        bgs = [t[i] + " " + t[i + 1] for i in range(len(t) - 1)]
+        if not bgs:
+            assert got[r.doc_id] == (0, 0, 0), r.doc_id
+            continue
+        c = collections.Counter(bgs)
+        n = len(bgs)
+        want = (
+            n,
+            max(c.values()) * 1000 // n,
+            sum(v for v in c.values() if v > 1) * 1000 // n,
+        )
+        assert got[r.doc_id] == want, r.doc_id
+    # the planted extremes discriminate: pure repetition -> 1000/1000,
+    # all distinct -> floor(1000/n)/0
+    assert got[100001] == (5, 1000, 1000)
+    assert got[100002] == (6, 166, 0)
+
+
+def test_repetition_scores_plan_has_no_shuffle(docs):
+    """The operator's scale claim, asserted: one Project over the scan —
+    no Exchange anywhere in the physical plan."""
+    from gmx.textops import repetition_scores
+
+    plan = repetition_scores(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
