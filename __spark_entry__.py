@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count_regex": Q.text_token_count_regex,
         "text_quality": Q.text_quality,
         "text_repetition": Q.text_repetition,
+        "text_decontaminate": Q.text_decontaminate,
         "text_lang_id": Q.text_lang_id,
         "dedup_ngram_jaccard": Q.dedup_ngram_jaccard,
         "ann_cosine_topk": Q.ann_cosine_topk,

@@ -513,6 +513,28 @@ SELECT doc_id,
             + len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_pieces
 FROM documents"""
 
+    # decontamination: same _shingles construction as the dedup twins; the
+    # eval slice is doc_id % 20 == 0, training docs are the rest
+    o["text_decontaminate"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3
+              THEN list_distinct([array_to_string(words[i:i+2], ' ')
+                                  for i in range(1, len(words)-1)])
+              ELSE [array_to_string(words, ' ')] END AS sh
+  FROM w),
+ev AS (SELECT DISTINCT UNNEST(sh) AS g FROM s WHERE doc_id % 20 = 0),
+tr AS (SELECT doc_id, UNNEST(sh) AS g FROM s WHERE doc_id % 20 <> 0),
+hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM tr JOIN ev USING (g) GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) > 0 AS BIGINT) AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) t
+LEFT JOIN hits h USING (doc_id)"""
+
     # repetition filters: the naive per-bigram GROUP BY recomputation of the
     # Spark side's shuffle-free sorted-run-length pass (same numbers, wholly
     # different algorithm).  FLOOR is explicit: DuckDB CAST(double AS

@@ -573,6 +573,15 @@ def text_quality(spark, sf_dir):
     return quality_scores(_docs(spark, sf_dir))
 
 
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing any 3-gram shingle
+    with the deterministic eval slice (doc_id % 20 == 0) are flagged; the
+    eval shingle set broadcasts, the big side never shuffles."""
+    from gmx.textops.dedup import decontaminate_ngrams
+
+    return decontaminate_ngrams(_docs(spark, sf_dir))
+
+
 def text_repetition(spark, sf_dir):
     """Gopher-style bigram-repetition quality filters (top-bigram and
     duplicated-bigram per-mille) — shuffle-free run-length pass over each

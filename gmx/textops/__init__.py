@@ -1,4 +1,5 @@
 from gmx.textops.dedup import (
+    decontaminate_ngrams,
     dup_clusters,
     exact_dup_groups,
     minhash_pairs,

@@ -64,6 +64,67 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def decontaminate_ngrams(
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    eval_mod: int = 20,
+    n: int = 3,
+    text_col: str = "text",
+    broadcast_hits: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / Pile recipe): flag
+    TRAINING documents that share any word ``n``-gram shingle with a
+    held-out EVAL set.  Returns (doc_id, n_hits, contaminated) for every
+    training doc, where ``n_hits`` counts the doc's DISTINCT shingles that
+    appear anywhere in the eval set and ``contaminated`` is the 0/1 drop
+    flag a mixing pipeline filters on.
+
+    ``eval_docs``: the benchmark table.  When None, a deterministic corpus
+    slice (``doc_id % eval_mod == 0``) stands in as the eval set — the
+    remaining docs are the training side — so the driver gate is
+    reproducible without external data.
+
+    Scale story: eval sets are tiny next to the training corpus (~1e5
+    benchmark docs vs 10^12 training docs), so the DISTINCT eval shingle
+    set BROADCASTS; the training side is one explode feeding a map-side
+    broadcast hash join, and the per-doc hit counts — non-empty only for
+    the rare contaminated docs — broadcast back onto the training ids.
+    The 10^12-doc side is never shuffled.  Shares :func:`_shingles` with
+    the dedup family so decontamination and dedup can never disagree on
+    tokenization.
+
+    ``broadcast_hits``: the join-back of per-doc hit counts assumes
+    contamination is RARE (the production case).  On an adversarial corpus
+    where most docs overlap the eval set (universal boilerplate), set
+    False to route the join-back through an ordinary shuffle equi-join on
+    doc_id instead of a driver-sized broadcast — same rows either way."""
+
+    if eval_docs is None:
+        eval_docs = docs.filter(F.col("doc_id") % eval_mod == 0)
+        train = docs.filter(F.col("doc_id") % eval_mod != 0)
+    else:
+        train = docs
+    ev = eval_docs.select(F.explode(_shingles(text_col, n)).alias("g")).distinct()
+    tr = train.select("doc_id", F.explode(_shingles(text_col, n)).alias("g"))
+    hits = (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    zero = F.lit(0).cast("long")
+    if broadcast_hits:
+        hits = F.broadcast(hits)
+    return (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), zero).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), zero) > 0).cast("long").alias("contaminated"),
+        )
+    )
+
+
 def _shingles(text_col: str, n: int = 3):
     """Word n-gram shingle array (distinct), built with JVM expressions."""
 

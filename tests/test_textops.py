@@ -453,3 +453,58 @@ def test_repetition_scores_plan_has_no_shuffle(docs):
 
     plan = repetition_scores(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_decontaminate_matches_python_oracle(docs):
+    """decontaminate_ngrams equals a set-intersection recomputation, both
+    classes (contaminated / clean) appear, and a planted eval copy is
+    caught through the external eval_docs path."""
+    from gmx.textops import decontaminate_ngrams
+
+    spark = docs.sparkSession
+    texts = {r.doc_id: r.text for r in docs.collect()}
+
+    def sh(t):
+        w = t.split(" ")
+        if len(w) >= 3:
+            return set(" ".join(w[i:i + 3]) for i in range(len(w) - 2))
+        return {" ".join(w)}
+
+    ev = set().union(*(sh(t) for d, t in texts.items() if d % 20 == 0))
+    want = {
+        d: len(sh(t) & ev)
+        for d, t in texts.items()
+        if d % 20 != 0
+    }
+    got = {r.doc_id: (r.n_hits, r.contaminated)
+           for r in decontaminate_ngrams(docs).collect()}
+    assert set(got) == set(want)
+    for d, n in want.items():
+        assert got[d] == (n, int(n > 0)), d
+    flags = {v[1] for v in got.values()}
+    assert flags == {0, 1}, "gate corpus must carry both classes"
+
+    # external benchmark table: a training doc that copies an eval doc
+    # verbatim must flag; unrelated text must not
+    some_id = next(iter(texts))
+    eval_tbl = spark.createDataFrame(
+        [(900001, texts[some_id])], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.contaminated
+           for r in decontaminate_ngrams(docs, eval_docs=eval_tbl).collect()}
+    assert out[some_id] == 1
+    # broadcast_hits=False takes the shuffle join-back; identical rows
+    a = sorted(map(tuple, decontaminate_ngrams(docs).collect()))
+    b = sorted(map(tuple, decontaminate_ngrams(docs, broadcast_hits=False).collect()))
+    assert a == b
+
+
+def test_decontaminate_plan_broadcasts_small_sides(docs):
+    """Scale claim asserted: both the eval shingle set and the hit counts
+    enter their joins as broadcasts — the training side is never the
+    shuffled side of a SortMergeJoin."""
+    from gmx.textops import decontaminate_ngrams
+
+    plan = decontaminate_ngrams(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
