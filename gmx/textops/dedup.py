@@ -125,19 +125,31 @@ def decontaminate_ngrams(
     )
 
 
-def _shingles(text_col: str, n: int = 3):
-    """Word n-gram shingle array (distinct), built with JVM expressions."""
+def _ngrams(text_col: str, n: int):
+    """Ordered word n-gram INSTANCES (duplicates kept, document order);
+    empty when the doc has fewer than ``n`` tokens.  The single n-gram
+    assembly shared by the dedup/decontamination shingles and the
+    repetition filters — tokenization changes happen in exactly one
+    place."""
 
     toks = F.split(F.col(text_col), " ")
-    k = F.size(toks) - F.lit(n - 1)
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    return F.transform(
+        F.slice(toks, 1, k),
+        lambda _t, i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+def _shingles(text_col: str, n: int = 3):
+    """Word n-gram shingle array (distinct), built with JVM expressions;
+    docs shorter than ``n`` tokens contribute their whole text as the one
+    shingle (so every doc has a non-empty shingle set)."""
+
+    toks = F.split(F.col(text_col), " ")
     return F.array_distinct(
-        F.when(
-            k > 0,
-            F.transform(
-                F.sequence(F.lit(0), k - 1),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", toks)))
+        F.when(F.size(toks) >= n, _ngrams(text_col, n)).otherwise(
+            F.array(F.concat_ws(" ", toks))
+        )
     )
 
 

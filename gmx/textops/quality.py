@@ -146,12 +146,11 @@ def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     code against itself.  Returns (doc_id, n_bigrams, top_bigram_per_mille,
     dup_bigram_per_mille)."""
 
-    toks = F.split(F.col(text_col), " ")
-    bigrams = F.transform(
-        F.slice(toks, 1, F.size(toks) - 1),
-        # element_at is 1-based: pair slot i (0-based) with token i+2
-        lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2)),
-    )
+    from gmx.textops.dedup import _ngrams
+
+    # same n-gram assembly as the dedup/decontamination shingles (instances,
+    # not distinct) so the whole text-ops family tokenizes identically
+    bigrams = _ngrams(text_col, 2)
     acc0 = F.struct(
         # "" can never equal a real bigram (every bigram contains the
         # joining space), so it is a safe first-element sentinel
